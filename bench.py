@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Throughput benchmark: 23k-atom, 3-subset PME water-like system (the
+BASELINE.json north-star configuration).
+
+Prints ONE JSON line:
+  {"metric": "ns_day_23k_pme", "value": N, "unit": "ns/day", "vs_baseline": R}
+
+vs_baseline is measured against a 500 ns/day proxy for the reference CUDA
+platform on a modern GPU (the reference publishes no numbers — BASELINE.md;
+no CUDA hardware is available here to measure it directly).
+
+The MD loop is one jitted lax.scan over leapfrog-Verlet steps with the full
+sliced-PME energy/force evaluation inside — zero host round-trips per step.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_NS_DAY = 500.0  # proxy for reference CUDA platform, see BASELINE.md
+N_MOLECULES = 7763       # ~23k atoms of 3-site water
+DT_PS = 0.002
+STEPS_MEASURE = 100
+
+
+def build_system():
+    import nonbondedslicing_tpu as nbs
+
+    n_mol = N_MOLECULES
+    n_atoms = 3 * n_mol
+    # box sized for ~33 atoms/nm^3 (water density)
+    box = float(np.cbrt(n_atoms / 33.4))
+    rng = np.random.default_rng(42)
+
+    force = nbs.SlicedNonbondedForce(3)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.PME)
+    force.setCutoffDistance(0.9)
+    force.setEwaldErrorTolerance(5e-4)
+
+    system = nbs.System()
+    system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
+    positions = np.zeros((n_atoms, 3))
+    # simple cubic lattice of molecules with jitter
+    m = int(np.ceil(n_mol ** (1 / 3)))
+    spacing = box / m
+    qO, qH = -0.834, 0.417
+    sigO, epsO = 0.3151, 0.6364
+    for k in range(n_mol):
+        iz, r = divmod(k, m * m)
+        iy, ix = divmod(r, m)
+        center = (np.array([ix, iy, iz]) + 0.5) * spacing
+        system.addParticle(15.999)
+        system.addParticle(1.008)
+        system.addParticle(1.008)
+        force.addParticle(qO, sigO, epsO)
+        force.addParticle(qH, 0.1, 0.0)
+        force.addParticle(qH, 0.1, 0.0)
+        o = 3 * k
+        positions[o] = center
+        positions[o + 1] = center + (0.09572, 0, 0)
+        positions[o + 2] = center + (-0.0239, 0.0927, 0)
+        positions[o:o + 3] += rng.normal(scale=0.01, size=(3, 3))
+        force.addException(o, o + 1, 0, 1, 0)
+        force.addException(o, o + 2, 0, 1, 0)
+        force.addException(o + 1, o + 2, 0, 1, 0)
+    # subsets: thirds of the molecules
+    for k in range(n_mol):
+        subset = 0 if k < n_mol // 3 else (1 if k < 2 * n_mol // 3 else 2)
+        for a in range(3):
+            force.setParticleSubset(3 * k + a, subset)
+    force.addGlobalParameter("lambda01", 1.0)
+    force.addScalingParameter("lambda01", 0, 1, True, True)
+    force.addGlobalParameter("lambda12", 1.0)
+    force.addScalingParameter("lambda12", 1, 2, True, True)
+    system.addForce(force)
+    return system, force, positions, box
+
+
+def main():
+    os.environ.setdefault("NBS_TPU_DISABLE_X64", "0")
+    import jax
+    import jax.numpy as jnp
+
+    import nonbondedslicing_tpu as nbs
+    from nonbondedslicing_tpu.ops import engine as engine_mod
+    from nonbondedslicing_tpu.ops import plan as plan_mod
+    from nonbondedslicing_tpu.ops.params import slice_lambdas
+    from nonbondedslicing_tpu.runtime.fastpath import make_md_step
+
+    system, force, positions, box = build_system()
+    plan = plan_mod.build_plan(force, system)
+
+    dtype = jnp.float32
+    n = plan.num_particles
+    masses = np.full(n, 15.999)
+    masses[1::3] = 1.008
+    masses[2::3] = 1.008
+
+    run = make_md_step(plan, masses, dt=DT_PS, dtype=dtype)
+
+    pos = jnp.asarray(positions, dtype)
+    vel = jnp.zeros_like(pos)
+    box_arr = jnp.asarray(np.diag([box, box, box]), dtype)
+    gvals = jnp.asarray([1.0, 1.0], dtype)
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+
+    # warmup/compile
+    t0 = time.time()
+    pos1, vel1, energy = run(pos, vel, box_arr, gvals, data, 3)
+    jax.block_until_ready(pos1)
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    pos2, vel2, energy = run(pos1, vel1, box_arr, gvals, data, STEPS_MEASURE)
+    jax.block_until_ready(pos2)
+    elapsed = time.time() - t0
+
+    steps_per_s = STEPS_MEASURE / elapsed
+    ns_day = steps_per_s * DT_PS * 86400 / 1000
+    print(json.dumps({
+        "metric": "ns_day_23k_pme",
+        "value": round(ns_day, 2),
+        "unit": "ns/day",
+        "vs_baseline": round(ns_day / BASELINE_NS_DAY, 4),
+    }))
+    print(f"# atoms={n} steps/s={steps_per_s:.2f} compile={compile_time:.1f}s "
+          f"energy={float(energy):.1f} device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

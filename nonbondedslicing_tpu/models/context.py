@@ -1,0 +1,376 @@
+"""Context / State / Integrator / Platform: the runtime layer.
+
+Analog of OpenMM's Context + the reference's force-impl dispatch
+(SlicedNonbondedForceImpl::calcForcesAndEnergy,
+/root/reference/openmmapi/src/SlicedNonbondedForceImpl.cpp:135-142):
+
+* ``includeDirect = includeDirectSpace and (groups >> forceGroup) & 1``
+* reciprocal group defaults to the force group; reciprocal space contributes
+  when its group bit is set
+
+Each SlicedNonbondedForce is compiled once per (includeDirect,
+includeReciprocal) combination into a jitted pure function; global parameters
+(lambdas and offsets) are traced inputs, so ``setParameter`` and
+``updateParametersInContext`` never recompile.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import engine as engine_mod
+from ..ops import plan as plan_mod
+from ..ops.plan import EWALD_METHODS
+from .force import (HarmonicBondForce, NonbondedForce, OpenMMException,
+                    SlicedNonbondedForce)
+from ..ops.geometry import min_image
+
+
+class Platform:
+    """Named execution platform.
+
+    * ``TPU``: default JAX backend, single precision by default.
+    * ``Reference``: CPU backend, double precision — the parity oracle,
+      mirroring the reference's Reference platform (SURVEY.md section 2.3).
+    """
+
+    _registry = {}
+
+    def __init__(self, name, properties=None):
+        self.name = name
+        self.properties = dict(properties or {})
+
+    @classmethod
+    def getPlatformByName(cls, name):
+        if name == "Reference":
+            return cls("Reference", {"Precision": "double"})
+        if name in ("TPU", "JAX"):
+            return cls(name, {"Precision": "single"})
+        raise OpenMMException(f"There is no platform called '{name}'")
+
+    def getName(self):
+        return self.name
+
+    def getPropertyDefaultValue(self, prop):
+        return self.properties.get(prop, "")
+
+
+class State:
+    def __init__(self, positions=None, velocities=None, forces=None,
+                 energy=None, derivatives=None, box=None):
+        self._positions = positions
+        self._velocities = velocities
+        self._forces = forces
+        self._energy = energy
+        self._derivatives = derivatives or {}
+        self._box = box
+
+    def getPotentialEnergy(self):
+        return self._energy
+
+    def getForces(self):
+        return self._forces
+
+    def getPositions(self):
+        return self._positions
+
+    def getVelocities(self):
+        return self._velocities
+
+    def getEnergyParameterDerivatives(self):
+        return dict(self._derivatives)
+
+    def getPeriodicBoxVectors(self):
+        return self._box
+
+
+class VerletIntegrator:
+    """Leapfrog Verlet integrator (kinematics only; no constraints yet)."""
+
+    def __init__(self, step_size):
+        self._dt = float(step_size)
+        self._context = None
+
+    def getStepSize(self):
+        return self._dt
+
+    def setStepSize(self, dt):
+        self._dt = float(dt)
+
+    def step(self, steps):
+        if self._context is None:
+            raise OpenMMException("Integrator is not bound to a context")
+        self._context._integrate(steps, self._dt)
+
+
+class _CompiledSliced:
+    """Holds the plan + jit caches for one SlicedNonbondedForce."""
+
+    def __init__(self, force, system, dtype):
+        self.force = force
+        self.plan = plan_mod.build_plan(force, system)
+        self.dtype = dtype
+        self.data = self._cast(engine_mod.plan_data(self.plan))
+        self._fns = {}
+
+    def _cast(self, data):
+        return {k: (v.astype(self.dtype) if v.dtype.kind == "f" else v)
+                for k, v in data.items()}
+
+    def refresh(self, force, system):
+        self.plan = plan_mod.refresh_plan(self.plan, force, system)
+        self.data = self._cast(engine_mod.plan_data(self.plan))
+        # jitted fns close over static config only; structural config is
+        # unchanged by updateParametersInContext, so caches stay valid
+
+    def fn(self, include_direct, include_reciprocal):
+        key = (include_direct, include_reciprocal)
+        if key not in self._fns:
+            compute = engine_mod.make_compute(self.plan, include_direct,
+                                              include_reciprocal)
+            self._fns[key] = jax.jit(compute)
+        return self._fns[key]
+
+
+class Context:
+    def __init__(self, system, integrator, platform=None, properties=None):
+        self._system = system
+        self._integrator = integrator
+        integrator._context = self
+        self._platform = platform or Platform.getPlatformByName("TPU")
+        if properties:
+            self._platform.properties.update(properties)
+        precision = self._platform.properties.get("Precision", "single")
+        self._dtype = jnp.float64 if precision == "double" else jnp.float32
+        n = system.getNumParticles()
+        self._positions = np.zeros((n, 3))
+        self._velocities = np.zeros((n, 3))
+        self._box = np.array(system.getDefaultPeriodicBoxVectors(), dtype=np.float64)
+        self._parameters = {}
+        self._compiled = {}
+        self._initialize()
+
+    # ------------------------------------------------------------ lifecycle
+
+    def _initialize(self):
+        self._compiled = {}
+        params = {}
+        for force in self._system.getForces():
+            if isinstance(force, SlicedNonbondedForce):
+                self._compiled[id(force)] = _CompiledSliced(
+                    force, self._system, self._dtype)
+            if isinstance(force, NonbondedForce):
+                for i in range(force.getNumGlobalParameters()):
+                    params.setdefault(force.getGlobalParameterName(i),
+                                      force.getGlobalParameterDefaultValue(i))
+        old = self._parameters
+        self._parameters = {k: old.get(k, v) for k, v in params.items()}
+
+    def reinitialize(self, preserveState=False):
+        positions = self._positions.copy()
+        velocities = self._velocities.copy()
+        box = self._box.copy()
+        parameters = dict(self._parameters)
+        self._parameters = {}
+        self._box = np.array(self._system.getDefaultPeriodicBoxVectors(),
+                             dtype=np.float64)
+        self._initialize()
+        if preserveState:
+            self._positions = positions
+            self._velocities = velocities
+            self._box = box
+            for k in list(self._parameters):
+                if k in parameters:
+                    self._parameters[k] = parameters[k]
+
+    def getSystem(self):
+        return self._system
+
+    def getIntegrator(self):
+        return self._integrator
+
+    def getPlatform(self):
+        return self._platform
+
+    # ----------------------------------------------------------- positions
+
+    def setPositions(self, positions):
+        arr = np.asarray([[p[0], p[1], p[2]] for p in positions], dtype=np.float64)
+        if arr.shape != (self._system.getNumParticles(), 3):
+            raise OpenMMException("setPositions: wrong number of positions")
+        self._positions = arr
+
+    def setVelocities(self, velocities):
+        self._velocities = np.asarray(velocities, dtype=np.float64).reshape(-1, 3)
+
+    def setVelocitiesToTemperature(self, temperature, seed=0):
+        rng = np.random.default_rng(seed)
+        kB = 8.31446261815324e-3  # kJ/mol/K
+        masses = np.array([self._system.getParticleMass(i)
+                           for i in range(self._system.getNumParticles())])
+        sigma = np.sqrt(kB * temperature / np.maximum(masses, 1e-12))
+        self._velocities = rng.normal(size=(len(masses), 3)) * sigma[:, None]
+
+    def setPeriodicBoxVectors(self, a, b, c):
+        self._box = np.array([a, b, c], dtype=np.float64)
+
+    def getPeriodicBoxVectors(self):
+        return [tuple(v) for v in self._box]
+
+    # ---------------------------------------------------------- parameters
+
+    def setParameter(self, name, value):
+        if name not in self._parameters:
+            raise OpenMMException(f"There is no parameter called '{name}'")
+        self._parameters[name] = float(value)
+
+    def getParameter(self, name):
+        if name not in self._parameters:
+            raise OpenMMException(f"There is no parameter called '{name}'")
+        return self._parameters[name]
+
+    def getParameters(self):
+        return dict(self._parameters)
+
+    # -------------------------------------------------------------- compute
+
+    def _group_mask(self, groups):
+        if groups is None:
+            return (1 << 32) - 1
+        if isinstance(groups, (set, frozenset, list, tuple)):
+            mask = 0
+            for g in groups:
+                mask |= 1 << g
+            return mask
+        return int(groups) & ((1 << 32) - 1)
+
+    def _check_box(self, force):
+        method = force.getNonbondedMethod()
+        if method in (NonbondedForce.CutoffPeriodic,) + tuple(EWALD_METHODS):
+            min_size = 1.999999 * force.getCutoffDistance()
+            if (self._box[0][0] < min_size or self._box[1][1] < min_size
+                    or self._box[2][2] < min_size):
+                raise OpenMMException(
+                    "The periodic box size has decreased to less than twice "
+                    "the nonbonded cutoff.")
+
+    def _gvals(self, compiled):
+        return jnp.asarray([self._parameters[name]
+                            for name in compiled.plan.global_names],
+                           dtype=compiled.dtype)
+
+    def _evaluate(self, groups_mask):
+        """Sum energies/forces/derivatives over all forces."""
+        n = self._system.getNumParticles()
+        total_energy = 0.0
+        total_forces = np.zeros((n, 3))
+        derivs = {}
+        pos64 = self._positions
+        for force in self._system.getForces():
+            if isinstance(force, SlicedNonbondedForce):
+                comp = self._compiled[id(force)]
+                include_direct = (force.getIncludeDirectSpace()
+                                  and bool(groups_mask >> force.getForceGroup() & 1))
+                recip_group = force.getReciprocalSpaceForceGroup()
+                if recip_group < 0:
+                    recip_group = force.getForceGroup()
+                include_reciprocal = bool(groups_mask >> recip_group & 1)
+                if force.getNonbondedMethod() not in EWALD_METHODS:
+                    include_reciprocal = False
+                if not (include_direct or include_reciprocal):
+                    continue
+                self._check_box(force)
+                fn = comp.fn(include_direct, include_reciprocal)
+                positions = jnp.asarray(pos64, dtype=comp.dtype)
+                box = jnp.asarray(self._box, dtype=comp.dtype)
+                gvals = self._gvals(comp)
+                slice_e, forces = fn(positions, box, gvals, comp.data)
+                from ..ops.params import slice_lambdas
+                lam = slice_lambdas(comp.plan.lam_source, gvals)
+                total_energy += float(engine_mod.contract_energy(slice_e, lam))
+                total_forces += np.asarray(forces, dtype=np.float64)
+                if comp.plan.deriv_names:
+                    dvals = np.asarray(engine_mod.parameter_derivatives(
+                        slice_e, comp.plan.deriv_mask))
+                    for name, val in zip(comp.plan.deriv_names, dvals):
+                        derivs[name] = derivs.get(name, 0.0) + float(val)
+            elif isinstance(force, HarmonicBondForce):
+                if not (groups_mask >> force.getForceGroup() & 1):
+                    continue
+                e, f = self._harmonic_bonds(force)
+                total_energy += e
+                total_forces += f
+        return total_energy, total_forces, derivs
+
+    def _harmonic_bonds(self, force):
+        if force.getNumBonds() == 0:
+            return 0.0, 0.0
+        bonds = np.array([force.getBondParameters(i)
+                          for i in range(force.getNumBonds())])
+        i = bonds[:, 0].astype(int)
+        j = bonds[:, 1].astype(int)
+        r0 = bonds[:, 2]
+        k = bonds[:, 3]
+        dr = self._positions[i] - self._positions[j]
+        if force.usesPeriodicBoundaryConditions():
+            dr = np.asarray(min_image(jnp.asarray(dr), jnp.asarray(self._box)))
+        r = np.sqrt(np.sum(dr * dr, axis=-1))
+        e = float(np.sum(0.5 * k * (r - r0) ** 2))
+        dedr = k * (r - r0) / np.maximum(r, 1e-12)
+        f = np.zeros_like(self._positions)
+        np.add.at(f, i, -dedr[:, None] * dr)
+        np.add.at(f, j, dedr[:, None] * dr)
+        return e, f
+
+    def getState(self, getPositions=False, getVelocities=False, getForces=False,
+                 getEnergy=False, getParameterDerivatives=False,
+                 enforcePeriodicBox=False, groups=None):
+        needs_compute = getForces or getEnergy or getParameterDerivatives
+        energy = forces = None
+        derivs = {}
+        if needs_compute:
+            energy, forces, derivs = self._evaluate(self._group_mask(groups))
+        return State(
+            positions=[tuple(p) for p in self._positions] if getPositions else None,
+            velocities=[tuple(v) for v in self._velocities] if getVelocities else None,
+            forces=[tuple(f) for f in forces] if getForces else None,
+            energy=energy if getEnergy else None,
+            derivatives=derivs,
+            box=[tuple(v) for v in self._box],
+        )
+
+    # ---------------------------------------------- force-facing internals
+
+    def _update_force_parameters(self, force):
+        if isinstance(force, SlicedNonbondedForce):
+            comp = self._compiled.get(id(force))
+            if comp is None:
+                raise OpenMMException("updateParametersInContext: force is not in this context")
+            comp.refresh(force, self._system)
+        # HarmonicBondForce reads its parameters at evaluation time
+
+    def _get_pme_parameters(self, force, dispersion=False):
+        comp = self._compiled.get(id(force))
+        if comp is None:
+            raise OpenMMException("getPMEParametersInContext: force is not in this context")
+        plan = comp.plan
+        if dispersion:
+            if plan.method != NonbondedForce.LJPME:
+                raise OpenMMException(
+                    "getPMEParametersInContext: This Context is not using LJPME")
+            return (plan.dispersion_alpha,) + tuple(plan.dispersion_grid)
+        if plan.method not in (NonbondedForce.PME, NonbondedForce.LJPME):
+            raise OpenMMException(
+                "getPMEParametersInContext: This Context is not using PME or LJPME")
+        return (plan.ewald_alpha,) + tuple(plan.pme_grid)
+
+    # ----------------------------------------------------------- dynamics
+
+    def _integrate(self, steps, dt):
+        masses = np.array([self._system.getParticleMass(i)
+                           for i in range(self._system.getNumParticles())])
+        inv_m = np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300), 0.0)
+        for _ in range(steps):
+            _, forces, _ = self._evaluate((1 << 32) - 1)
+            self._velocities += dt * forces * inv_m[:, None]
+            self._positions += dt * self._velocities

@@ -1,0 +1,126 @@
+"""Bond-style nonbonded terms: 1-4 exceptions and Ewald exclusion corrections.
+
+* 1-4 exceptions: E = lam_c*k*qq/r + lam_v*4*eps*((sigma/r)^12 - (sigma/r)^6)
+  with parameters packed (sigma, 4*eps, qq); forces lambda-scaled, slice
+  energies unscaled (ReferenceSlicedLJCoulomb14.cpp:61-95).
+* Exclusion corrections subtract the reciprocal-space part of excluded pairs:
+  -erf(alpha*r)*k*qq/r with a Taylor-safe branch when erf(alpha*r) <= 1e-6,
+  plus the LJPME dispersion back-out term
+  (ReferenceSlicedLJCoulombIxn.cpp:447-507).
+"""
+
+import jax.numpy as jnp
+from jax.scipy.special import erf
+
+from ..utils.constants import ONE_4PI_EPS0, SQRT_PI, TWO_OVER_SQRT_PI
+from .geometry import min_image
+
+
+def nb14_interactions(positions, box, atoms, sigma, four_eps, qq, slice_ids,
+                      lam_coul_s, lam_vdw_s, *, periodic, num_slices, num_particles):
+    """Compute 1-4 exception terms.
+
+    Returns (slice_energies (S, 2), forces (N, 3)).
+    """
+    dtype = positions.dtype
+    if atoms.shape[0] == 0:
+        return (jnp.zeros((num_slices, 2), dtype),
+                jnp.zeros((num_particles, 3), dtype))
+    i = atoms[:, 0]
+    j = atoms[:, 1]
+    dr = positions[i] - positions[j]
+    if periodic:
+        dr = min_image(dr, box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    rinv = jnp.where(r2 > 0, 1.0 / jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
+    sig2 = (sigma * rinv) ** 2
+    sig6 = sig2 * sig2 * sig2
+
+    lam_c = lam_coul_s[slice_ids]
+    lam_v = lam_vdw_s[slice_ids]
+
+    dedr = (lam_v * four_eps * (12.0 * sig6 - 6.0) * sig6
+            + lam_c * ONE_4PI_EPS0 * qq * rinv) * rinv * rinv
+    f = dedr[:, None] * dr
+
+    e_vdw = four_eps * (sig6 - 1.0) * sig6
+    e_coul = ONE_4PI_EPS0 * qq * rinv
+
+    slice_energies = jnp.zeros((num_slices, 2), dtype)
+    slice_energies = slice_energies.at[slice_ids, 0].add(e_coul)
+    slice_energies = slice_energies.at[slice_ids, 1].add(e_vdw)
+
+    forces = jnp.zeros((num_particles, 3), dtype)
+    forces = forces.at[i].add(f).at[j].add(-f)
+    return slice_energies, forces
+
+
+def exclusion_corrections(positions, box, pairs, charge, sig_half, eps2,
+                          subsets, slice_table, lam_coul_s, lam_vdw_s, *,
+                          alpha, periodic_exceptions, ljpme, dispersion_alpha,
+                          num_slices, num_particles):
+    """Subtract reciprocal-space contributions of excluded pairs."""
+    dtype = positions.dtype
+    if pairs.shape[0] == 0:
+        return (jnp.zeros((num_slices, 2), dtype),
+                jnp.zeros((num_particles, 3), dtype))
+    i = pairs[:, 0]
+    j = pairs[:, 1]
+    dr = positions[i] - positions[j]
+    if periodic_exceptions:
+        dr = min_image(dr, box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    r = jnp.where(r2 > 0, r, 0.0)
+    alpha_r = alpha * r
+    erf_ar = erf(alpha_r)
+    big = erf_ar > 1e-6  # Taylor-safe branch (ReferenceSlicedLJCoulombIxn.cpp:468)
+    r_safe = jnp.where(big, r, jnp.ones((), dtype))
+    rinv = 1.0 / r_safe
+
+    qq = charge[i] * charge[j]
+    sl = jnp.asarray(slice_table)[subsets[i], subsets[j]]
+    lam_c = lam_coul_s[sl]
+    lam_v = lam_vdw_s[sl]
+
+    e_coul = jnp.where(
+        big,
+        -ONE_4PI_EPS0 * qq * rinv * erf_ar,
+        -alpha * TWO_OVER_SQRT_PI * ONE_4PI_EPS0 * qq)
+    dedr = jnp.where(
+        big,
+        ONE_4PI_EPS0 * qq * rinv ** 3
+        * (erf_ar - 2.0 * alpha_r * jnp.exp(-alpha_r * alpha_r) / SQRT_PI),
+        0.0)
+    # reference subtracts: forces[i] -= lam*dedr*dr (cpp:473-478)
+    f = -(lam_c * dedr)[:, None] * dr
+
+    slice_energies = jnp.zeros((num_slices, 2), dtype)
+    slice_energies = slice_energies.at[sl, 0].add(e_coul)
+
+    forces = jnp.zeros((num_particles, 3), dtype)
+    forces = forces.at[i].add(f).at[j].add(-f)
+
+    if ljpme:
+        # back out reciprocal-space dispersion for excluded pairs (cpp:487-504)
+        dar = dispersion_alpha * r
+        dar2 = dar * dar
+        dar4 = dar2 * dar2
+        dar6 = dar4 * dar2
+        rinv2 = rinv * rinv
+        rinv6 = rinv2 * rinv2 * rinv2
+        c6i = 8.0 * sig_half[i] ** 3 * eps2[i]
+        c6j = 8.0 * sig_half[j] ** 3 * eps2[j]
+        c6ij = c6i * c6j
+        expd = jnp.exp(-dar2)
+        e_vdw = jnp.where(big, c6ij * rinv6 * (1.0 - expd * (1.0 + dar2 + 0.5 * dar4)), 0.0)
+        dedr_v = jnp.where(
+            big,
+            -6.0 * c6ij * rinv6 * rinv2
+            * (1.0 - expd * (1.0 + dar2 + 0.5 * dar4 + dar6 / 6.0)),
+            0.0)
+        fv = -(lam_v * dedr_v)[:, None] * dr
+        slice_energies = slice_energies.at[sl, 1].add(e_vdw)
+        forces = forces.at[i].add(fv).at[j].add(-fv)
+
+    return slice_energies, forces

@@ -1,0 +1,205 @@
+"""Assembles the full sliced-nonbonded computation into one pure function.
+
+``make_compute(plan, include_direct, include_reciprocal)`` returns
+``f(positions, box, gvals, data) -> (slice_energies (S, 2), forces (N, 3))``
+with slice energies *unscaled* by lambda: the total energy is
+``sum(lam * slice_energies)`` and, because E is lambda-linear, the exact
+dE/dlambda derivatives are just sums of slice energies
+(ReferenceNonbondedSlicingKernels.cpp:252-265) — no autodiff needed.
+
+``data`` carries every mutable parameter array (base charges/sigmas/epsilons,
+offsets, subsets, exception tables, dispersion coefficients) so that
+``updateParametersInContext`` never recompiles; only structural changes
+(method, particle/exception counts, scaling parameters) rebuild the plan.
+
+Evaluation order mirrors the reference execute()
+(ReferenceNonbondedSlicingKernels.cpp:187-268 and
+ReferenceSlicedLJCoulombIxn.cpp:179-507):
+self energy + neutralizing plasma -> reciprocal (Ewald k-sum or sliced PME,
+plus LJPME dispersion PME) -> direct space -> exclusion corrections -> 1-4
+exceptions -> per-slice dispersion correction / volume.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.force import NonbondedForce
+from ..utils.constants import COUL, EPSILON0, ONE_4PI_EPS0, SQRT_PI, VDW
+from ..utils.indexing import slice_subsets
+from . import bonded, direct, ewald, params, pme
+from .geometry import box_volume
+from .plan import EWALD_METHODS, Plan
+
+
+def plan_data(plan: Plan):
+    """The mutable-parameter pytree passed to the compiled function."""
+    return {
+        "base_params": jnp.asarray(plan.base_params),
+        "charge_offsets": jnp.asarray(plan.charge_offsets),
+        "sigma_offsets": jnp.asarray(plan.sigma_offsets),
+        "epsilon_offsets": jnp.asarray(plan.epsilon_offsets),
+        "subsets": jnp.asarray(plan.subsets),
+        "exclusion_pairs": jnp.asarray(plan.exclusion_pairs),
+        "exclusion_list": jnp.asarray(plan.exclusion_list),
+        "nb14_atoms": jnp.asarray(plan.nb14_atoms),
+        "nb14_base": jnp.asarray(plan.nb14_base),
+        "nb14_slice": jnp.asarray(plan.nb14_slice),
+        "nb14_charge_offsets": jnp.asarray(plan.nb14_charge_offsets),
+        "nb14_sigma_offsets": jnp.asarray(plan.nb14_sigma_offsets),
+        "nb14_epsilon_offsets": jnp.asarray(plan.nb14_epsilon_offsets),
+        "dispersion_coefficients": jnp.asarray(plan.dispersion_coefficients),
+    }
+
+
+def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
+                 block_size=None):
+    method = plan.method
+    is_ewald_family = method in EWALD_METHODS
+    n = plan.num_particles
+    nsub = plan.num_subsets
+    nslices = plan.num_slices
+    slice_pairs = jnp.asarray(slice_subsets(nsub))
+    slice_table = plan.slice_table
+    periodic = method in (NonbondedForce.CutoffPeriodic,) + tuple(EWALD_METHODS)
+
+    if method == NonbondedForce.NoCutoff:
+        mode = direct.PLAIN
+    elif method in (NonbondedForce.CutoffNonPeriodic, NonbondedForce.CutoffPeriodic):
+        mode = direct.CUTOFF
+    else:
+        mode = direct.EWALD_DIRECT
+
+    # reaction-field constants (ReferenceSlicedLJCoulombIxn.cpp:66-67)
+    eps_rf = plan.rf_dielectric
+    krf = plan.cutoff ** -3 * (eps_rf - 1.0) / (2.0 * eps_rf + 1.0)
+    crf = (1.0 / plan.cutoff) * (3.0 * eps_rf) / (2.0 * eps_rf + 1.0)
+
+    direct_fn = direct.make_direct_space(
+        mode=mode, periodic=periodic, cutoff=plan.cutoff, krf=krf, crf=crf,
+        use_switch=plan.use_switch, switch_distance=plan.switch_distance,
+        ewald_alpha=plan.ewald_alpha, ljpme=(method == NonbondedForce.LJPME),
+        dispersion_alpha=plan.dispersion_alpha, num_slices=nslices,
+        block_size=block_size)
+
+    if method == NonbondedForce.Ewald:
+        kvec_ints = ewald.half_space_kvectors(plan.ewald_kmax)
+    else:
+        kvec_ints = None
+
+    def compute(positions, box, gvals, data):
+        dtype = positions.dtype
+        box = box.astype(dtype)
+        gvals = gvals.astype(dtype)
+        subsets = data["subsets"]
+        charge, sig_half, eps2 = params.particle_params(data, gvals)
+        lam = params.slice_lambdas(plan.lam_source, gvals)  # (S, 2)
+        lam_c = lam[:, COUL]
+        lam_v = lam[:, VDW]
+
+        slice_energies = jnp.zeros((nslices, 2), dtype)
+        forces = jnp.zeros((n, 3), dtype)
+
+        if is_ewald_family and include_reciprocal:
+            alpha = plan.ewald_alpha
+            # ---- self energy (ReferenceSlicedLJCoulombIxn.cpp:203-213)
+            diag_slices = subsets * (subsets + 3) // 2
+            self_coul = -ONE_4PI_EPS0 * charge * charge * alpha / SQRT_PI
+            slice_energies = slice_energies.at[diag_slices, COUL].add(self_coul)
+            if method == NonbondedForce.LJPME:
+                self_vdw = (plan.dispersion_alpha ** 6 * 64.0
+                            * sig_half ** 6 * eps2 ** 2 / 12.0)
+                slice_energies = slice_energies.at[diag_slices, VDW].add(self_vdw)
+            # ---- neutralizing plasma (cpp:214-221)
+            volume = box_volume(box)
+            onehot = (subsets[:, None] == jnp.arange(nsub)[None, :]).astype(dtype)
+            q_sub = charge @ onehot  # (nsub,)
+            factor = (-1.0 / (4.0 * alpha * alpha)) / (2.0 * EPSILON0 * volume)
+            qi = q_sub[slice_pairs[:, 0]]
+            qj = q_sub[slice_pairs[:, 1]]
+            w = jnp.where(slice_pairs[:, 0] == slice_pairs[:, 1], 1.0, 2.0).astype(dtype)
+            slice_energies = slice_energies.at[:, COUL].add(w * qi * qj * factor)
+            # ---- k-space
+            if method == NonbondedForce.Ewald:
+                e_k, f_k = ewald.ewald_reciprocal(
+                    positions, box, charge, subsets, lam_c,
+                    kvec_ints=kvec_ints, alpha=alpha, num_subsets=nsub,
+                    num_slices=nslices, slice_subset_pairs=slice_pairs)
+                slice_energies = slice_energies.at[:, COUL].add(e_k)
+                forces = forces + f_k
+            else:
+                e_k, f_k = pme.pme_reciprocal(
+                    positions, box, charge, subsets, lam_c,
+                    alpha=alpha, grid_shape=plan.pme_grid,
+                    moduli=plan.pme_moduli, num_subsets=nsub,
+                    slice_subset_pairs=slice_pairs, slice_table=slice_table)
+                slice_energies = slice_energies.at[:, COUL].add(e_k)
+                forces = forces + f_k
+                if method == NonbondedForce.LJPME:
+                    c6 = 8.0 * sig_half ** 3 * eps2
+                    e_d, f_d = pme.pme_reciprocal(
+                        positions, box, c6, subsets, lam_v,
+                        alpha=plan.dispersion_alpha,
+                        grid_shape=plan.dispersion_grid,
+                        moduli=plan.dpme_moduli, num_subsets=nsub,
+                        slice_subset_pairs=slice_pairs, slice_table=slice_table,
+                        dispersion=True)
+                    slice_energies = slice_energies.at[:, VDW].add(e_d)
+                    forces = forces + f_d
+
+        if include_direct:
+            e_dir, f_dir = direct_fn(positions, box, charge, sig_half, eps2,
+                                     subsets, data["exclusion_list"],
+                                     slice_table, lam_c, lam_v)
+            slice_energies = slice_energies + e_dir
+            forces = forces + f_dir
+
+            if is_ewald_family:
+                e_x, f_x = bonded.exclusion_corrections(
+                    positions, box, data["exclusion_pairs"], charge, sig_half,
+                    eps2, subsets, slice_table, lam_c, lam_v,
+                    alpha=plan.ewald_alpha,
+                    periodic_exceptions=plan.exceptions_periodic,
+                    ljpme=(method == NonbondedForce.LJPME),
+                    dispersion_alpha=plan.dispersion_alpha,
+                    num_slices=nslices, num_particles=n)
+                slice_energies = slice_energies + e_x
+                forces = forces + f_x
+
+            sigma14, four_eps14, qq14 = params.nb14_params(data, gvals)
+            e_14, f_14 = bonded.nb14_interactions(
+                positions, box, data["nb14_atoms"], sigma14, four_eps14, qq14,
+                data["nb14_slice"], lam_c, lam_v,
+                periodic=plan.exceptions_periodic, num_slices=nslices,
+                num_particles=n)
+            slice_energies = slice_energies + e_14
+            forces = forces + f_14
+
+            # per-slice long-range dispersion correction / volume
+            # (ReferenceNonbondedSlicingKernels.cpp:244-249; note LJPME handles
+            # dispersion exactly, so it is excluded)
+            if method in (NonbondedForce.CutoffPeriodic, NonbondedForce.Ewald,
+                          NonbondedForce.PME):
+                volume = box_volume(box)
+                slice_energies = slice_energies.at[:, VDW].add(
+                    data["dispersion_coefficients"].astype(dtype) / volume)
+
+        return slice_energies, forces
+
+    return compute
+
+
+def contract_energy(slice_energies, lam):
+    """E = sum(lam * slice_energies) (ReferenceNonbondedSlicingKernels.cpp:252-257)."""
+    return jnp.sum(lam * slice_energies)
+
+
+def parameter_derivatives(slice_energies, deriv_mask):
+    """dE/dlambda_p = sum of unscaled slice energies assigned to p
+    (ReferenceNonbondedSlicingKernels.cpp:259-265)."""
+    return jnp.einsum("dst,st->d", jnp.asarray(deriv_mask,
+                                               dtype=slice_energies.dtype),
+                      slice_energies)

@@ -1,0 +1,59 @@
+"""Test configuration: CPU backend with 8 virtual devices for sharding tests,
+double precision enabled (the Reference-parity oracle)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+# sitecustomize.py may have imported jax at interpreter startup with the TPU
+# platform selected; override at the config level before any computation runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def assert_equal_to(expected, found, tol):
+    """Relative-tolerance assert with scale max(|expected|, 1), mirroring the
+    reference's assertEqualTo (AssertionUtilities.h:7-14)."""
+    scale = max(abs(expected), 1.0)
+    assert abs(expected - found) / scale <= tol, f"expected {expected}, found {found}"
+
+
+def assert_equal_vec(expected, found, tol):
+    expected = np.asarray(expected, dtype=float)
+    found = np.asarray(found, dtype=float)
+    scale = max(np.linalg.norm(expected), 1.0)
+    assert np.all(np.abs(expected - found) / scale <= tol), \
+        f"expected {expected}, found {found}"
+
+
+def assert_forces(state0, state1, tol):
+    for f0, f1 in zip(state0.getForces(), state1.getForces()):
+        assert_equal_vec(f0, f1, tol)
+
+
+def assert_energy(state0, state1, tol):
+    assert_equal_to(state0.getPotentialEnergy(), state1.getPotentialEnergy(), tol)
+
+
+def assert_forces_and_energy(context, tol):
+    state0 = context.getState(getForces=True, getEnergy=True, groups={0})
+    state1 = context.getState(getForces=True, getEnergy=True, groups={1})
+    assert_energy(state0, state1, tol)
+    assert_forces(state0, state1, tol)
+
+
+@pytest.fixture
+def helpers():
+    class H:
+        assert_equal_to = staticmethod(assert_equal_to)
+        assert_equal_vec = staticmethod(assert_equal_vec)
+        assert_forces = staticmethod(assert_forces)
+        assert_energy = staticmethod(assert_energy)
+        assert_forces_and_energy = staticmethod(assert_forces_and_energy)
+    return H
