@@ -22,6 +22,12 @@ if os.environ.get("NBS_TPU_DISABLE_X64") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
+# MD forces need true float32 matmuls; the TPU MXU default (bfloat16 inputs)
+# loses ~3 decimal digits in the PME phase/interpolation einsums.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .models.force import (HarmonicBondForce, NonbondedForce, OpenMMException,
                            SlicedNonbondedForce)
 from .models.system import System

@@ -264,7 +264,12 @@ class Context:
         n = self._system.getNumParticles()
         total_energy = 0.0
         total_forces = np.zeros((n, 3))
+        # every requested derivative appears in the map, zero when its force
+        # group was not evaluated (OpenMM map semantics)
         derivs = {}
+        for comp in self._compiled.values():
+            for name in comp.plan.deriv_names:
+                derivs.setdefault(name, 0.0)
         pos64 = self._positions
         for force in self._system.getForces():
             if isinstance(force, SlicedNonbondedForce):

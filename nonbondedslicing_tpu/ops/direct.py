@@ -125,23 +125,38 @@ def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
 
         return e_coul, e_vdw, dedr_coul, dedr_vdw
 
-    def direct_space(positions, box, charge, sig_half, eps2, subsets,
-                     exclusion_list, slice_table, lam_coul, lam_vdw):
+    def pad_inputs(positions, charge, sig_half, eps2, subsets, exclusion_list,
+                   block):
+        """Pad per-atom arrays to a multiple of `block` rows."""
         n = positions.shape[0]
-        dtype = positions.dtype
-        block = block_size or _pick_block(n)
         n_pad = ((n + block - 1) // block) * block
         pad = n_pad - n
+        return dict(
+            pos_p=jnp.pad(positions, ((0, pad), (0, 0))),
+            q_p=jnp.pad(charge, (0, pad)),
+            sh_p=jnp.pad(sig_half, (0, pad)),
+            e2_p=jnp.pad(eps2, (0, pad)),
+            sub_p=jnp.pad(subsets, (0, pad)),
+            excl_p=jnp.pad(exclusion_list, ((0, pad), (0, 0)), constant_values=-1),
+            n=n, n_pad=n_pad)
 
-        pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
-        q_p = jnp.pad(charge, (0, pad))
-        sh_p = jnp.pad(sig_half, (0, pad))
-        e2_p = jnp.pad(eps2, (0, pad))
-        sub_p = jnp.pad(subsets, (0, pad))
-        excl_p = jnp.pad(exclusion_list, ((0, pad), (0, 0)), constant_values=-1)
+    def make_block_fn(padded, box, slice_table, lam_coul, lam_vdw, block):
+        """Per-row-block pair computation over all columns.
+
+        Returns block_fn(i0) -> (slice_energy_partials (S, 2), row forces
+        (block, 3)); reused by the single-chip loop and the shard_map path.
+        """
+        pos_p = padded["pos_p"]
+        q_p = padded["q_p"]
+        sh_p = padded["sh_p"]
+        e2_p = padded["e2_p"]
+        sub_p = padded["sub_p"]
+        excl_p = padded["excl_p"]
+        n = padded["n"]
+        n_pad = padded["n_pad"]
+        dtype = pos_p.dtype
         valid_p = jnp.arange(n_pad) < n
         idx_all = jnp.arange(n_pad)
-
         lam_c = lam_coul[jnp.asarray(slice_table)]  # (nsub, nsub)
         lam_v = lam_vdw[jnp.asarray(slice_table)]
         sl_tab = jnp.asarray(slice_table)
@@ -191,10 +206,22 @@ def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
                                      num_segments=num_slices)
             return jnp.stack([ec, ev], axis=-1), f_block
 
-        starts = jnp.arange(0, n_pad, block)
+        return block_fn
+
+    def direct_space(positions, box, charge, sig_half, eps2, subsets,
+                     exclusion_list, slice_table, lam_coul, lam_vdw):
+        n = positions.shape[0]
+        block = block_size or _pick_block(n)
+        padded = pad_inputs(positions, charge, sig_half, eps2, subsets,
+                            exclusion_list, block)
+        block_fn = make_block_fn(padded, box, slice_table, lam_coul, lam_vdw,
+                                 block)
+        starts = jnp.arange(0, padded["n_pad"], block)
         slice_parts, force_blocks = jax.lax.map(block_fn, starts)
         slice_energies = jnp.sum(slice_parts, axis=0)
-        forces = force_blocks.reshape(n_pad, 3)[:n]
+        forces = force_blocks.reshape(padded["n_pad"], 3)[:n]
         return slice_energies, forces
 
+    direct_space.pad_inputs = pad_inputs
+    direct_space.make_block_fn = make_block_fn
     return direct_space
