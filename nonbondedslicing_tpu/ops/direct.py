@@ -52,16 +52,22 @@ def _pick_block(n):
     return 8
 
 
-def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
-                      use_switch=False, switch_distance=0.0,
-                      ewald_alpha=0.0, ljpme=False, dispersion_alpha=0.0,
-                      num_slices=1, block_size=None):
-    """Build the direct-space function.
+def slice_reduce(values, sl, num_slices):
+    """Sum ``values`` into per-slice buckets.
 
-    Returns f(positions, box, charge, sig_half, eps2, subsets, exclusion_list,
-              slice_table, lam_coul, lam_vdw) -> (slice_energies (S, 2),
-              forces (N, 3)).
-    """
+    ``num_slices`` masked reductions instead of one giant scatter: TPU has no
+    fast scatter over millions of duplicate indices, but S = n(n+1)/2 is
+    compile-time small (the analog of the reference GPU kernels'
+    register-resident per-slice accumulators, kernels/pme.cc:211)."""
+    return jnp.stack([jnp.sum(jnp.where(sl == s, values, 0))
+                      for s in range(num_slices)])
+
+
+def make_pair_terms(*, mode, cutoff=None, krf=0.0, crf=0.0, use_switch=False,
+                    switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
+                    dispersion_alpha=0.0):
+    """Shared per-pair physics used by both the O(N^2) and the cell-list
+    engines (ReferenceSlicedLJCoulombIxn.cpp:578-630 semantics)."""
 
     def pair_terms(r2, rinv, sh_i, sh_j, e2_i, e2_j, qq):
         """Per-pair energies and dE/dR*(1/r) factors (before lambda scaling)."""
@@ -124,6 +130,24 @@ def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
             e_vdw = e_vdw * sw_val
 
         return e_coul, e_vdw, dedr_coul, dedr_vdw
+
+    return pair_terms
+
+
+def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
+                      use_switch=False, switch_distance=0.0,
+                      ewald_alpha=0.0, ljpme=False, dispersion_alpha=0.0,
+                      num_slices=1, block_size=None):
+    """Build the all-pairs direct-space function.
+
+    Returns f(positions, box, charge, sig_half, eps2, subsets, exclusion_list,
+              slice_table, lam_coul, lam_vdw) -> (slice_energies (S, 2),
+              forces (N, 3)).
+    """
+    pair_terms = make_pair_terms(
+        mode=mode, cutoff=cutoff, krf=krf, crf=crf, use_switch=use_switch,
+        switch_distance=switch_distance, ewald_alpha=ewald_alpha, ljpme=ljpme,
+        dispersion_alpha=dispersion_alpha)
 
     def pad_inputs(positions, charge, sig_half, eps2, subsets, exclusion_list,
                    block):
@@ -200,10 +224,8 @@ def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
             e_coul = jnp.where(mask, e_coul, 0.0)
             e_vdw = jnp.where(mask, e_vdw, 0.0)
             # each unordered pair appears in two row blocks -> half weights
-            ec = jax.ops.segment_sum(0.5 * e_coul.ravel(), sl.ravel(),
-                                     num_segments=num_slices)
-            ev = jax.ops.segment_sum(0.5 * e_vdw.ravel(), sl.ravel(),
-                                     num_segments=num_slices)
+            ec = slice_reduce(0.5 * e_coul, sl, num_slices)
+            ev = slice_reduce(0.5 * e_vdw, sl, num_slices)
             return jnp.stack([ec, ev], axis=-1), f_block
 
         return block_fn

@@ -30,7 +30,7 @@ import numpy as np
 from ..models.force import NonbondedForce
 from ..utils.constants import COUL, EPSILON0, ONE_4PI_EPS0, SQRT_PI, VDW
 from ..utils.indexing import slice_subsets
-from . import bonded, direct, ewald, params, pme
+from . import bonded, direct, ewald, neighbors, params, pme
 from .geometry import box_volume
 from .plan import EWALD_METHODS, Plan
 
@@ -55,8 +55,11 @@ def plan_data(plan: Plan):
     }
 
 
+_CELL_LIST_MIN_PARTICLES = 1024
+
+
 def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
-                 block_size=None):
+                 block_size=None, neighbor="auto"):
     method = plan.method
     is_ewald_family = method in EWALD_METHODS
     n = plan.num_particles
@@ -78,12 +81,27 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
     krf = plan.cutoff ** -3 * (eps_rf - 1.0) / (2.0 * eps_rf + 1.0)
     crf = (1.0 / plan.cutoff) * (3.0 * eps_rf) / (2.0 * eps_rf + 1.0)
 
-    direct_fn = direct.make_direct_space(
-        mode=mode, periodic=periodic, cutoff=plan.cutoff, krf=krf, crf=crf,
-        use_switch=plan.use_switch, switch_distance=plan.switch_distance,
-        ewald_alpha=plan.ewald_alpha, ljpme=(method == NonbondedForce.LJPME),
-        dispersion_alpha=plan.dispersion_alpha, num_slices=nslices,
-        block_size=block_size)
+    # cell-list engine for large periodic cutoff systems; O(N^2) otherwise
+    cell_cfg = None
+    if (mode != direct.PLAIN and periodic and neighbor != "all_pairs"
+            and plan.box0 is not None
+            and (neighbor == "cell" or n >= _CELL_LIST_MIN_PARTICLES)):
+        cell_cfg = neighbors.choose_cell_grid(plan.box0, plan.cutoff, n)
+    if cell_cfg is not None:
+        counts, capacity = cell_cfg
+        direct_fn = neighbors.make_cell_direct_space(
+            mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
+            krf=krf, crf=crf, use_switch=plan.use_switch,
+            switch_distance=plan.switch_distance, ewald_alpha=plan.ewald_alpha,
+            ljpme=(method == NonbondedForce.LJPME),
+            dispersion_alpha=plan.dispersion_alpha, num_slices=nslices)
+    else:
+        direct_fn = direct.make_direct_space(
+            mode=mode, periodic=periodic, cutoff=plan.cutoff, krf=krf, crf=crf,
+            use_switch=plan.use_switch, switch_distance=plan.switch_distance,
+            ewald_alpha=plan.ewald_alpha, ljpme=(method == NonbondedForce.LJPME),
+            dispersion_alpha=plan.dispersion_alpha, num_slices=nslices,
+            block_size=block_size)
 
     if method == NonbondedForce.Ewald:
         kvec_ints = ewald.half_space_kvectors(plan.ewald_kmax)

@@ -76,6 +76,8 @@ class Plan:
     pme_order: int = 5
     # lookup tables
     slice_table: np.ndarray = None   # (nsub, nsub) -> slice id
+    # default periodic box (static; used to size the cell grid)
+    box0: Optional[np.ndarray] = None
 
 
 def _validate(force: SlicedNonbondedForce, system) -> None:
@@ -320,6 +322,7 @@ def build_plan(force: SlicedNonbondedForce, system) -> Plan:
         pme_moduli=pme_moduli,
         dpme_moduli=dpme_moduli,
         slice_table=slice_pair_table(nsub).astype(np.int32),
+        box0=box,
     )
 
 

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Sequential TPU measurement probe. Waits for device health, then times
+each compute component at bench scale, printing results incrementally."""
+import sys
+import time
+
+import numpy as np
+
+def wait_healthy(max_wait=600):
+    import jax, jax.numpy as jnp
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            x = float(jnp.ones((8, 8)).sum())
+            print(f"device healthy after {time.time()-t0:.0f}s", flush=True)
+            return True
+        except Exception as e:
+            print(f"health check failed: {type(e).__name__}", flush=True)
+            time.sleep(30)
+    return False
+
+def main():
+    stages = sys.argv[1:] or ["direct_np", "recip", "full", "md"]
+    import jax
+    import jax.numpy as jnp
+    if not wait_healthy():
+        print("device never became healthy", flush=True)
+        return
+    sys.path.insert(0, ".")
+    import bench
+    from nonbondedslicing_tpu.ops import engine as engine_mod
+    from nonbondedslicing_tpu.ops import plan as plan_mod
+
+    system, force, positions, box = bench.build_system()
+    plan = plan_mod.build_plan(force, system)
+    print("PME grid:", plan.pme_grid, "alpha:", round(plan.ewald_alpha, 4),
+          flush=True)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    data = jax.device_put(data)
+    pos = jax.device_put(jnp.asarray(positions, dtype))
+    box_arr = jax.device_put(jnp.asarray(np.diag([box, box, box]), dtype))
+    gvals = jax.device_put(jnp.asarray([1.0, 1.0], dtype))
+
+    def run(tag, include_direct, include_reciprocal, neighbor="auto", reps=20):
+        t0 = time.time()
+        fn = jax.jit(engine_mod.make_compute(plan, include_direct,
+                                             include_reciprocal,
+                                             neighbor=neighbor))
+        e, f = fn(pos, box_arr, gvals, data)
+        jax.block_until_ready((e, f))
+        t1 = time.time()
+        for _ in range(reps):
+            e, f = fn(pos, box_arr, gvals, data)
+        jax.block_until_ready((e, f))
+        t2 = time.time()
+        print(f"{tag}: compile+run={t1-t0:.1f}s run={(t2-t1)/reps*1e3:.2f}ms "
+              f"E={float(jnp.sum(e)):.2f}", flush=True)
+
+    for st in stages:
+        if st == "direct_np":
+            run("direct-allpairs", True, False, neighbor="all_pairs")
+        elif st == "direct_cell":
+            run("direct-cell", True, False, neighbor="cell")
+        elif st == "recip":
+            run("reciprocal-only", False, True)
+        elif st == "full":
+            run("full", True, True)
+        elif st == "md":
+            from nonbondedslicing_tpu.runtime.fastpath import make_md_step
+            masses = np.full(plan.num_particles, 15.999)
+            masses[1::3] = 1.008
+            masses[2::3] = 1.008
+            runf = make_md_step(plan, masses, dt=0.002, dtype=dtype)
+            vel = jnp.zeros_like(pos)
+            t0 = time.time()
+            p1, v1, en = runf(pos, vel, box_arr, gvals, data, 3)
+            jax.block_until_ready(p1)
+            t1 = time.time()
+            p2, v2, en = runf(p1, v1, box_arr, gvals, data, 100)
+            jax.block_until_ready(p2)
+            t2 = time.time()
+            ms = (t2 - t1) / 100 * 1e3
+            ns_day = 0.002 * 86400 / ((t2 - t1) / 100) / 1000
+            print(f"md-step: compile={t1-t0:.1f}s step={ms:.2f}ms "
+                  f"ns/day={ns_day:.1f} E={float(en):.1f}", flush=True)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Cell-list direct-space engine vs the all-pairs oracle.
+
+The reference's correctness strategy for its neighbor machinery is agreement
+between platforms and a brute-force path (SURVEY.md section 4); here the
+O(N^2) masked engine (validated against analytic results in test_direct.py)
+is the oracle for the cell-list engine.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import nonbondedslicing_tpu as nbs
+from nonbondedslicing_tpu.ops import engine as engine_mod
+from nonbondedslicing_tpu.ops import neighbors
+from nonbondedslicing_tpu.ops import plan as plan_mod
+
+
+def _random_system(method, n=480, nsub=3, seed=7, box_size=4.0, switching=False):
+    rng = np.random.default_rng(seed)
+    force = nbs.SlicedNonbondedForce(nsub)
+    force.setNonbondedMethod(method)
+    force.setCutoffDistance(1.0)
+    if switching:
+        force.setUseSwitchingFunction(True)
+        force.setSwitchingDistance(0.8)
+    system = nbs.System()
+    system.setDefaultPeriodicBoxVectors((box_size, 0, 0), (0, box_size, 0),
+                                        (0, 0, box_size))
+    for i in range(n):
+        system.addParticle(1.0)
+        q = 0.2 if i % 2 == 0 else -0.2
+        force.addParticle(q, 0.2 + 0.1 * rng.random(), 0.5 * rng.random())
+        force.setParticleSubset(i, i % nsub)
+    # some exclusions / 1-4s among consecutive atoms
+    for i in range(0, n - 1, 7):
+        force.addException(i, i + 1, 0.01, 0.25, 0.1)
+    force.addGlobalParameter("lam", 0.7)
+    force.addScalingParameter("lam", 0, 1, True, True)
+    system.addForce(force)
+    positions = rng.random((n, 3)) * box_size
+    return force, system, positions, np.diag([box_size] * 3)
+
+
+@pytest.mark.parametrize("method,switching", [
+    (nbs.SlicedNonbondedForce.CutoffPeriodic, False),
+    (nbs.SlicedNonbondedForce.CutoffPeriodic, True),
+    (nbs.SlicedNonbondedForce.PME, False),
+    (nbs.SlicedNonbondedForce.LJPME, False),
+])
+def test_cell_list_matches_all_pairs(method, switching):
+    force, system, positions, box = _random_system(method, switching=switching)
+    plan = plan_mod.build_plan(force, system)
+    data = engine_mod.plan_data(plan)
+    gvals = jnp.asarray(plan.global_defaults)
+    pos = jnp.asarray(positions)
+    box = jnp.asarray(box, dtype=pos.dtype)
+
+    ref_fn = jax.jit(engine_mod.make_compute(plan, True, False,
+                                             neighbor="all_pairs"))
+    cell_fn = jax.jit(engine_mod.make_compute(plan, True, False,
+                                              neighbor="cell"))
+    e_ref, f_ref = ref_fn(pos, box, gvals, data)
+    e_cell, f_cell = cell_fn(pos, box, gvals, data)
+    np.testing.assert_allclose(np.asarray(e_cell), np.asarray(e_ref),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_cell), np.asarray(f_ref),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_cell_grid_selection():
+    # box barely over 2x cutoff -> too few cells, cell list not applicable
+    assert neighbors.choose_cell_grid(np.diag([2.1, 2.1, 2.1]), 1.0, 100) is None
+    cfg = neighbors.choose_cell_grid(np.diag([9.0, 9.0, 9.0]), 0.9, 23000)
+    assert cfg is not None
+    counts, capacity = cfg
+    assert counts == (10, 10, 10)
+    assert capacity >= 2 * 23000 / 1000
+
+
+def test_no_overflow_on_uniform_system():
+    force, system, positions, box = _random_system(
+        nbs.SlicedNonbondedForce.CutoffPeriodic, n=960, box_size=5.0)
+    plan = plan_mod.build_plan(force, system)
+    counts, capacity = neighbors.choose_cell_grid(plan.box0, plan.cutoff,
+                                                  plan.num_particles)
+    overflow = neighbors.cell_overflow(jnp.asarray(positions),
+                                       jnp.asarray(plan.box0), counts, capacity)
+    assert int(overflow) == 0
