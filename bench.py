@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_NS_DAY = 500.0  # proxy for reference CUDA platform, see BASELINE.md
 N_MOLECULES = 7763       # ~23k atoms of 3-site water
-DT_PS = 0.002
+DT_PS = 0.001            # flexible water (no constraints yet) needs 1 fs
 STEPS_MEASURE = 100
 
 
@@ -45,6 +45,7 @@ def build_system():
     system = nbs.System()
     system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
     positions = np.zeros((n_atoms, 3))
+    bonds = []
     # simple cubic lattice of molecules with jitter
     m = int(np.ceil(n_mol ** (1 / 3)))
     spacing = box / m
@@ -68,6 +69,10 @@ def build_system():
         force.addException(o, o + 1, 0, 1, 0)
         force.addException(o, o + 2, 0, 1, 0)
         force.addException(o + 1, o + 2, 0, 1, 0)
+        # flexible SPC-like intramolecular bonds (kJ/mol/nm^2)
+        bonds.append((o, o + 1, 0.09572, 462750.4))
+        bonds.append((o, o + 2, 0.09572, 462750.4))
+        bonds.append((o + 1, o + 2, 0.15139, 100000.0))
     # subsets: thirds of the molecules
     for k in range(n_mol):
         subset = 0 if k < n_mol // 3 else (1 if k < 2 * n_mol // 3 else 2)
@@ -78,7 +83,7 @@ def build_system():
     force.addGlobalParameter("lambda12", 1.0)
     force.addScalingParameter("lambda12", 1, 2, True, True)
     system.addForce(force)
-    return system, force, positions, box
+    return system, force, positions, box, bonds
 
 
 def main():
@@ -92,7 +97,7 @@ def main():
     from nonbondedslicing_tpu.ops.params import slice_lambdas
     from nonbondedslicing_tpu.runtime.fastpath import make_md_step
 
-    system, force, positions, box = build_system()
+    system, force, positions, box, bonds = build_system()
     plan = plan_mod.build_plan(force, system)
 
     dtype = jnp.float32
@@ -101,7 +106,7 @@ def main():
     masses[1::3] = 1.008
     masses[2::3] = 1.008
 
-    run = make_md_step(plan, masses, dt=DT_PS, dtype=dtype)
+    run = make_md_step(plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds)
 
     pos = jnp.asarray(positions, dtype)
     vel = jnp.zeros_like(pos)

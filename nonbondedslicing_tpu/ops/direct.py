@@ -63,6 +63,28 @@ def slice_reduce(values, sl, num_slices):
                       for s in range(num_slices)])
 
 
+def subset_moments(e_masked, oh_i, oh_j, slice_subset_pairs):
+    """Per-slice sums of a (B, M) pair-energy array via MXU matmuls.
+
+    M[a, b] = oh_i[:, a]^T @ e @ oh_j[:, b] counts each visited ordered pair
+    once; each unordered pair is visited from both rows (i-row and j-row), so
+    the unordered sum for slice (a, b) is 0.5 * (M[a, b] + M[b, a]) off the
+    diagonal and 0.5 * M[a, a] on it (both visits land in the same entry).
+    This replaces per-pair slice-id gathers — near-scalar on TPU — with two
+    small matmuls.
+    """
+    m = jnp.einsum("ba,bm,mc->ac", oh_i, e_masked, oh_j)
+    a = slice_subset_pairs[:, 0]
+    b = slice_subset_pairs[:, 1]
+    return jnp.where(a == b, 0.5 * m[a, a], 0.5 * (m[a, b] + m[b, a]))
+
+
+def pair_lambdas(lam_nn, oh_i, oh_j):
+    """Per-pair lambda factors (B, M) = oh_i @ lam_nn @ oh_j^T — the gather
+    table lookup lam[slice(sub_i, sub_j)] expressed as MXU matmuls."""
+    return (oh_i @ lam_nn) @ oh_j.T
+
+
 def make_pair_terms(*, mode, cutoff=None, krf=0.0, crf=0.0, use_switch=False,
                     switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
                     dispersion_alpha=0.0):
@@ -181,16 +203,21 @@ def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
         dtype = pos_p.dtype
         valid_p = jnp.arange(n_pad) < n
         idx_all = jnp.arange(n_pad)
-        lam_c = lam_coul[jnp.asarray(slice_table)]  # (nsub, nsub)
-        lam_v = lam_vdw[jnp.asarray(slice_table)]
         sl_tab = jnp.asarray(slice_table)
+        nsub = sl_tab.shape[0]
+        lam_c_nn = lam_coul[sl_tab]  # (nsub, nsub)
+        lam_v_nn = lam_vdw[sl_tab]
+        from ..utils.indexing import slice_subsets
+        spairs = jnp.asarray(slice_subsets(nsub))
+        oh_p = (sub_p[:, None]
+                == jnp.arange(nsub, dtype=sub_p.dtype)).astype(dtype)
 
         def block_fn(i0):
             pi = jax.lax.dynamic_slice(pos_p, (i0, 0), (block, 3))
             qi = jax.lax.dynamic_slice(q_p, (i0,), (block,))
             shi = jax.lax.dynamic_slice(sh_p, (i0,), (block,))
             e2i = jax.lax.dynamic_slice(e2_p, (i0,), (block,))
-            subi = jax.lax.dynamic_slice(sub_p, (i0,), (block,))
+            ohi = jax.lax.dynamic_slice(oh_p, (i0, 0), (block, nsub))
             excli = jax.lax.dynamic_slice(excl_p, (i0, 0),
                                           (block, excl_p.shape[1]))
             idx_i = i0 + jnp.arange(block)
@@ -215,17 +242,17 @@ def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
                 r2s, rinv, shi[:, None], sh_p[None, :], e2i[:, None],
                 e2_p[None, :], qq)
 
-            lam_cp = lam_c[subi[:, None], sub_p[None, :]]
-            lam_vp = lam_v[subi[:, None], sub_p[None, :]]
+            # per-pair lambdas and per-slice sums as one-hot matmuls (MXU);
+            # per-pair table gathers are near-scalar on TPU
+            lam_cp = pair_lambdas(lam_c_nn, ohi, oh_p)
+            lam_vp = pair_lambdas(lam_v_nn, ohi, oh_p)
             factor = jnp.where(mask, lam_vp * dedr_v + lam_cp * dedr_c, 0.0)
             f_block = jnp.einsum("ij,ijk->ik", factor, dr)
 
-            sl = sl_tab[subi[:, None], sub_p[None, :]]
             e_coul = jnp.where(mask, e_coul, 0.0)
             e_vdw = jnp.where(mask, e_vdw, 0.0)
-            # each unordered pair appears in two row blocks -> half weights
-            ec = slice_reduce(0.5 * e_coul, sl, num_slices)
-            ev = slice_reduce(0.5 * e_vdw, sl, num_slices)
+            ec = subset_moments(e_coul, ohi, oh_p, spairs)
+            ev = subset_moments(e_vdw, ohi, oh_p, spairs)
             return jnp.stack([ec, ev], axis=-1), f_block
 
         return block_fn

@@ -81,14 +81,22 @@ def calc_dispersion_corrections(force) -> np.ndarray:
         sigma[index] += defaults[param] * sig_scale
         epsilon[index] += defaults[param] * eps_scale
 
+    use_switch = force.getUseSwitchingFunction()
+    cutoff = force.getCutoffDistance()
+    switch = force.getSwitchingDistance()
+
+    # native C++ path for the O(C^2) class-pair sums (runtime/native.py)
+    from ..runtime import native
+    nat = native.dispersion_corrections(sigma, epsilon, subset,
+                                        force.getNumSubsets(), use_switch,
+                                        cutoff, switch)
+    if nat is not None:
+        return nat
+
     class_counts = {}
     for i in range(n):
         key = (sigma[i], epsilon[i], subset[i])
         class_counts[key] = class_counts.get(key, 0) + 1
-
-    use_switch = force.getUseSwitchingFunction()
-    cutoff = force.getCutoffDistance()
-    switch = force.getSwitchingDistance()
 
     sum1 = np.zeros(num_slices)
     sum2 = np.zeros(num_slices)

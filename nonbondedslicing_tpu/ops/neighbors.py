@@ -3,24 +3,27 @@
 The reference rebuilds a voxel-hash neighbor list on every evaluation
 (computeNeighborListVoxelHash, ReferenceNonbondedSlicingKernels.cpp:197) and
 its GPU platforms use OpenMM's tiled neighbor machinery.  The TPU-native
-equivalent built here is a fully jittable, static-shape cell list that is
-rebuilt *inside* the compiled step (so an MD ``lax.scan`` never leaves the
-device):
+equivalent built here is a fully jittable, static-shape cell list rebuilt
+*inside* the compiled step (so an MD ``lax.scan`` never leaves the device),
+designed around the TPU's constraint that gathers are near-scalar while dense
+copies and matmuls are fast:
 
 1. atoms -> fractional coordinates -> cell ids on a static (ncx, ncy, ncz)
    grid whose perpendicular slab widths are >= cutoff
 2. ``argsort`` by cell id + ``searchsorted`` ranks -> a dense
-   (n_cells, capacity) occupancy table padded with a dummy atom index N
-   (deterministic; no atomics, unlike the GPU sort+spread path in
-   kernels/pme.cc:19-21)
-3. each cell's candidate set is the occupancy of its (host-precomputed,
-   deduplicated) <=27 neighbor cells; rows of one cell all share the same
-   candidate columns, so the pair space is processed as
-   (cell-chunk, capacity) x (27*capacity) tiles — the TPU analog of OpenMM's
-   GPU tile decomposition
-4. per-slice energies via ``segment_sum`` over the compile-time-small slice
-   table; row forces only (each unordered pair is visited from both sides, so
-   energies carry a 1/2 weight and no scatter of column forces is needed)
+   (n_cells, capacity) slot table; all per-atom features (position, charge,
+   LJ parameters, subset one-hots, exclusion lists, atom index) are gathered
+   into slot order ONCE (the only gather per step)
+3. the candidate tensor — for every cell, the slot-ordered features of its 27
+   neighbor cells — is built with 27 ``jnp.roll``s of the slotted feature
+   array (dense copies, no gathers, periodic wrap for free)
+4. the pair stage processes chunks of cells as (chunk*capacity) x
+   (27*capacity) tiles where rows and columns are contiguous dynamic slices;
+   per-slice energies and per-pair lambdas use subset one-hot matmuls
+   (direct.subset_moments / MXU) instead of table gathers
+5. row forces only: each unordered pair is visited from both sides, so
+   energies carry 1/2 weights and the single scatter is the final
+   slot->atom force unsort
 
 Capacity overflow (a cell holding more atoms than the static capacity) drops
 atoms; capacity is chosen with a >=2x margin over the uniform-density mean
@@ -33,7 +36,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .direct import PLAIN, make_pair_terms, slice_reduce
+from ..utils.indexing import slice_subsets
+from .direct import PLAIN, make_pair_terms
 from .geometry import min_image, recip_box_vectors
 
 
@@ -60,29 +64,6 @@ def choose_cell_grid(box, cutoff, num_particles, max_cells=262144):
     return tuple(int(c) for c in counts), capacity
 
 
-def neighbor_cell_table(counts):
-    """(n_cells, 27) neighbor-cell ids, deduplicated per cell and padded with
-    the dummy cell id ``n_cells`` (host precomputation; static data)."""
-    ncx, ncy, ncz = counts
-    n_cells = ncx * ncy * ncz
-    cx, cy, cz = np.meshgrid(np.arange(ncx), np.arange(ncy), np.arange(ncz),
-                             indexing="ij")
-    cells = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)  # (n_cells, 3)
-    offsets = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
-                        for dy in (-1, 0, 1) for dz in (-1, 0, 1)])
-    table = np.full((n_cells, 27), n_cells, dtype=np.int32)
-    for k, (dx, dy, dz) in enumerate(offsets):
-        nb = (cells + (dx, dy, dz)) % (ncx, ncy, ncz)
-        table[:, k] = (nb[:, 0] * ncy + nb[:, 1]) * ncz + nb[:, 2]
-    # dedup per row (wrapped duplicates only occur when some count == 2,
-    # which choose_cell_grid excludes, but keep this robust)
-    out = np.full_like(table, n_cells)
-    for i in range(n_cells):
-        uniq = np.unique(table[i])
-        out[i, :len(uniq)] = uniq
-    return out
-
-
 def cell_ids(positions, box, counts):
     """Runtime cell id per atom from fractional coordinates."""
     recip = recip_box_vectors(box)
@@ -95,8 +76,8 @@ def cell_ids(positions, box, counts):
 
 
 def build_occupancy(cell, n, counts, capacity):
-    """Dense (n_cells, capacity) occupancy table of atom indices, padded with
-    the dummy index ``n``.  Also returns the number of dropped atoms."""
+    """Dense (n_cells, capacity) slot table of atom indices, padded with the
+    dummy index ``n``.  Also returns the number of dropped atoms."""
     n_cells = counts[0] * counts[1] * counts[2]
     order = jnp.argsort(cell)
     sorted_cell = cell[order]
@@ -117,6 +98,11 @@ def cell_overflow(positions, box, counts, capacity):
     return overflow
 
 
+def _neighbor_offsets():
+    return [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+
+
 def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
                            use_switch=False, switch_distance=0.0,
                            ewald_alpha=0.0, ljpme=False, dispersion_alpha=0.0,
@@ -132,95 +118,125 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
         mode=mode, cutoff=cutoff, krf=krf, crf=crf, use_switch=use_switch,
         switch_distance=switch_distance, ewald_alpha=ewald_alpha, ljpme=ljpme,
         dispersion_alpha=dispersion_alpha)
-    n_cells = counts[0] * counts[1] * counts[2]
-    nbr_cells = jnp.asarray(neighbor_cell_table(counts))  # (n_cells, 27)
+    ncx, ncy, ncz = counts
+    n_cells = ncx * ncy * ncz
     ncand = 27 * capacity
     if cells_per_chunk is None:
-        cells_per_chunk = max(1, 256 // capacity)
-    # pad cell count to a chunk multiple
+        cells_per_chunk = max(1, 512 // capacity)
     n_chunks = (n_cells + cells_per_chunk - 1) // cells_per_chunk
     n_cells_pad = n_chunks * cells_per_chunk
+    offsets = _neighbor_offsets()
 
     def direct_space(positions, box, charge, sig_half, eps2, subsets,
                      exclusion_list, slice_table, lam_coul, lam_vdw):
         n = positions.shape[0]
         dtype = positions.dtype
+        emax = exclusion_list.shape[1]
+        sl_tab = jnp.asarray(slice_table)
+        nsub = sl_tab.shape[0]
+        lam_c_nn = lam_coul[sl_tab]
+        lam_v_nn = lam_vdw[sl_tab]
+        spairs = jnp.asarray(slice_subsets(nsub))
+
         cell = cell_ids(positions, box, counts)
         table, _ = build_occupancy(cell, n, counts, capacity)
+        slots = table.reshape(-1)  # (n_cells*capacity,), dummy = n
 
-        # dummy atom at index n: far away, zero parameters, no interactions
-        pos_p = jnp.concatenate([positions, jnp.zeros((1, 3), dtype)], axis=0)
-        q_p = jnp.concatenate([charge, jnp.zeros((1,), dtype)])
-        sh_p = jnp.concatenate([sig_half, jnp.zeros((1,), dtype)])
-        e2_p = jnp.concatenate([eps2, jnp.zeros((1,), dtype)])
-        sub_p = jnp.concatenate([subsets, jnp.zeros((1,), subsets.dtype)])
+        # ---- the single gather: atom features into slot order
+        oh = (subsets[:, None]
+              == jnp.arange(nsub, dtype=subsets.dtype)).astype(dtype)
+        feat = jnp.concatenate([positions, charge[:, None], sig_half[:, None],
+                                eps2[:, None], oh], axis=1)  # (N, 6+nsub)
+        nf = feat.shape[1]
+        feat_p = jnp.concatenate([feat, jnp.zeros((1, nf), dtype)], axis=0)
+        sfeat = feat_p[slots]                          # (n_cells*C, F)
         excl_p = jnp.concatenate(
             [exclusion_list,
-             jnp.full((1, exclusion_list.shape[1]), -1, exclusion_list.dtype)],
-            axis=0)
+             jnp.full((1, emax), -1, exclusion_list.dtype)], axis=0)
+        sexcl = excl_p[slots]                          # (n_cells*C, Emax)
 
-        # candidate columns per cell: occupancy of the <=27 neighbor cells
-        table_pad = jnp.concatenate(
-            [table, jnp.full((1, capacity), n, jnp.int32)], axis=0)
-        cand = table_pad[nbr_cells].reshape(n_cells, ncand)  # (n_cells, 27C)
-        rows_pad = jnp.concatenate(
-            [table, jnp.full((n_cells_pad - n_cells, capacity), n, jnp.int32)],
-            axis=0)
-        cand_pad = jnp.concatenate(
-            [cand, jnp.full((n_cells_pad - n_cells, ncand), n, jnp.int32)],
-            axis=0)
+        # ---- candidate tensor via 27 rolls (dense copies, periodic wrap)
+        grid_feat = sfeat.reshape(ncx, ncy, ncz, capacity, nf)
+        grid_idx = slots.reshape(ncx, ncy, ncz, capacity)
+        cand_feat = jnp.concatenate(
+            [jnp.roll(grid_feat, (-dx, -dy, -dz), axis=(0, 1, 2))
+             .reshape(n_cells, capacity, nf) for (dx, dy, dz) in offsets],
+            axis=1)                                     # (n_cells, 27C, F)
+        cand_idx = jnp.concatenate(
+            [jnp.roll(grid_idx, (-dx, -dy, -dz), axis=(0, 1, 2))
+             .reshape(n_cells, capacity) for (dx, dy, dz) in offsets],
+            axis=1)                                     # (n_cells, 27C)
 
-        lam_c_nn = lam_coul[jnp.asarray(slice_table)]
-        lam_v_nn = lam_vdw[jnp.asarray(slice_table)]
-        sl_tab = jnp.asarray(slice_table)
+        # pad cell dimension to a chunk multiple
+        pc = n_cells_pad - n_cells
+        rows_feat = jnp.pad(sfeat.reshape(n_cells, capacity, nf),
+                            ((0, pc), (0, 0), (0, 0)))
+        rows_idx = jnp.pad(table, ((0, pc), (0, 0)), constant_values=n)
+        rows_excl = jnp.pad(sexcl.reshape(n_cells, capacity, emax),
+                            ((0, pc), (0, 0), (0, 0)), constant_values=-1)
+        cand_feat = jnp.pad(cand_feat, ((0, pc), (0, 0), (0, 0)))
+        cand_idx = jnp.pad(cand_idx, ((0, pc), (0, 0)), constant_values=n)
+
         cutoff2 = jnp.asarray(cutoff * cutoff, dtype)
+        g = cells_per_chunk
 
         def chunk_fn(c0):
-            rows = jax.lax.dynamic_slice(rows_pad, (c0, 0),
-                                         (cells_per_chunk, capacity))
-            cols = jax.lax.dynamic_slice(cand_pad, (c0, 0),
-                                         (cells_per_chunk, ncand))
-            pos_i = pos_p[rows]               # (G, C, 3)
-            pos_j = pos_p[cols]               # (G, 27C, 3)
+            rf = jax.lax.dynamic_slice(rows_feat, (c0, 0, 0),
+                                       (g, capacity, nf))
+            ri = jax.lax.dynamic_slice(rows_idx, (c0, 0), (g, capacity))
+            re = jax.lax.dynamic_slice(rows_excl, (c0, 0, 0),
+                                       (g, capacity, emax))
+            cf = jax.lax.dynamic_slice(cand_feat, (c0, 0, 0), (g, ncand, nf))
+            ci = jax.lax.dynamic_slice(cand_idx, (c0, 0), (g, ncand))
+
+            pos_i, pos_j = rf[..., 0:3], cf[..., 0:3]
             dr = pos_i[:, :, None, :] - pos_j[:, None, :, :]
             dr = min_image(dr, box)
-            r2 = jnp.sum(dr * dr, axis=-1)    # (G, C, 27C)
+            r2 = jnp.sum(dr * dr, axis=-1)             # (g, C, 27C)
 
-            mask = rows[:, :, None] != cols[:, None, :]
-            mask &= (rows[:, :, None] < n) & (cols[:, None, :] < n)
+            mask = ri[:, :, None] != ci[:, None, :]
+            mask &= (ri[:, :, None] < n) & (ci[:, None, :] < n)
             mask &= r2 < cutoff2
-            excl_i = excl_p[rows]             # (G, C, Emax)
-            excluded = jnp.any(cols[:, None, :, None] == excl_i[:, :, None, :],
+            excluded = jnp.any(ci[:, None, :, None] == re[:, :, None, :],
                                axis=-1)
             mask &= ~excluded
 
             r2s = jnp.where(mask, r2, jnp.ones((), dtype))
             rinv = jax.lax.rsqrt(r2s)
-            qq = q_p[rows][:, :, None] * q_p[cols][:, None, :]
+            qq = rf[:, :, None, 3] * cf[:, None, :, 3]
             e_coul, e_vdw, dedr_c, dedr_v = pair_terms(
-                r2s, rinv, sh_p[rows][:, :, None], sh_p[cols][:, None, :],
-                e2_p[rows][:, :, None], e2_p[cols][:, None, :], qq)
+                r2s, rinv, rf[:, :, None, 4], cf[:, None, :, 4],
+                rf[:, :, None, 5], cf[:, None, :, 5], qq)
 
-            sub_i = sub_p[rows]
-            sub_j = sub_p[cols]
-            lam_cp = lam_c_nn[sub_i[:, :, None], sub_j[:, None, :]]
-            lam_vp = lam_v_nn[sub_i[:, :, None], sub_j[:, None, :]]
+            oh_i, oh_j = rf[..., 6:6 + nsub], cf[..., 6:6 + nsub]
+            lam_cp = jnp.einsum("gcs,st,gjt->gcj", oh_i, lam_c_nn, oh_j)
+            lam_vp = jnp.einsum("gcs,st,gjt->gcj", oh_i, lam_v_nn, oh_j)
             factor = jnp.where(mask, lam_vp * dedr_v + lam_cp * dedr_c, 0.0)
             f_rows = jnp.einsum("gcj,gcjk->gck", factor, dr)
 
-            sl = sl_tab[sub_i[:, :, None], sub_j[:, None, :]]
             e_coul = jnp.where(mask, e_coul, 0.0)
             e_vdw = jnp.where(mask, e_vdw, 0.0)
-            ec = slice_reduce(0.5 * e_coul, sl, num_slices)
-            ev = slice_reduce(0.5 * e_vdw, sl, num_slices)
-            return jnp.stack([ec, ev], axis=-1), f_rows.reshape(-1, 3), \
-                rows.reshape(-1)
+            ec = _moments(e_coul, oh_i, oh_j, spairs)
+            ev = _moments(e_vdw, oh_i, oh_j, spairs)
+            return jnp.stack([ec, ev], axis=-1), f_rows.reshape(-1, 3)
 
-        starts = jnp.arange(0, n_cells_pad, cells_per_chunk)
-        slice_parts, f_parts, row_parts = jax.lax.map(chunk_fn, starts)
+        starts = jnp.arange(0, n_cells_pad, g)
+        slice_parts, f_parts = jax.lax.map(chunk_fn, starts)
         slice_energies = jnp.sum(slice_parts, axis=0)
-        forces = jnp.zeros((n + 1, 3), dtype).at[row_parts.reshape(-1)].add(
+        # unsort: slot forces -> atoms (the only scatter; slot indices are
+        # unique per real atom)
+        slots_pad = jnp.pad(slots.reshape(n_cells, capacity),
+                            ((0, pc), (0, 0)), constant_values=n).reshape(-1)
+        forces = jnp.zeros((n + 1, 3), dtype).at[slots_pad].add(
             f_parts.reshape(-1, 3))
         return slice_energies, forces[:n]
 
     return direct_space
+
+
+def _moments(e_masked, oh_i, oh_j, slice_subset_pairs):
+    """Batched-tile version of direct.subset_moments for (G, C, 27C) tiles."""
+    m = jnp.einsum("gca,gcj,gjb->ab", oh_i, e_masked, oh_j)
+    a = slice_subset_pairs[:, 0]
+    b = slice_subset_pairs[:, 1]
+    return jnp.where(a == b, 0.5 * m[a, a], 0.5 * (m[a, b] + m[b, a]))

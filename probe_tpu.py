@@ -31,7 +31,7 @@ def main():
     from nonbondedslicing_tpu.ops import engine as engine_mod
     from nonbondedslicing_tpu.ops import plan as plan_mod
 
-    system, force, positions, box = bench.build_system()
+    system, force, positions, box, bonds = bench.build_system()
     plan = plan_mod.build_plan(force, system)
     print("PME grid:", plan.pme_grid, "alpha:", round(plan.ewald_alpha, 4),
           flush=True)
@@ -43,7 +43,7 @@ def main():
     box_arr = jax.device_put(jnp.asarray(np.diag([box, box, box]), dtype))
     gvals = jax.device_put(jnp.asarray([1.0, 1.0], dtype))
 
-    def run(tag, include_direct, include_reciprocal, neighbor="auto", reps=20):
+    def run(tag, include_direct, include_reciprocal, neighbor="auto", reps=5):
         t0 = time.time()
         fn = jax.jit(engine_mod.make_compute(plan, include_direct,
                                              include_reciprocal,
@@ -51,11 +51,14 @@ def main():
         e, f = fn(pos, box_arr, gvals, data)
         jax.block_until_ready((e, f))
         t1 = time.time()
+        print(f"{tag}: compile+run={t1-t0:.1f}s", flush=True)
+        times = []
         for _ in range(reps):
+            ta = time.time()
             e, f = fn(pos, box_arr, gvals, data)
-        jax.block_until_ready((e, f))
-        t2 = time.time()
-        print(f"{tag}: compile+run={t1-t0:.1f}s run={(t2-t1)/reps*1e3:.2f}ms "
+            jax.block_until_ready((e, f))
+            times.append(time.time() - ta)
+        print(f"{tag}: per-call={[round(t*1e3,1) for t in times]}ms "
               f"E={float(jnp.sum(e)):.2f}", flush=True)
 
     for st in stages:
@@ -72,7 +75,8 @@ def main():
             masses = np.full(plan.num_particles, 15.999)
             masses[1::3] = 1.008
             masses[2::3] = 1.008
-            runf = make_md_step(plan, masses, dt=0.002, dtype=dtype)
+            runf = make_md_step(plan, masses, dt=0.001, dtype=dtype,
+                                bonds=bonds)
             vel = jnp.zeros_like(pos)
             t0 = time.time()
             p1, v1, en = runf(pos, vel, box_arr, gvals, data, 3)
@@ -82,7 +86,7 @@ def main():
             jax.block_until_ready(p2)
             t2 = time.time()
             ms = (t2 - t1) / 100 * 1e3
-            ns_day = 0.002 * 86400 / ((t2 - t1) / 100) / 1000
+            ns_day = 0.001 * 86400 / ((t2 - t1) / 100) / 1000
             print(f"md-step: compile={t1-t0:.1f}s step={ms:.2f}ms "
                   f"ns/day={ns_day:.1f} E={float(en):.1f}", flush=True)
 
