@@ -106,7 +106,18 @@ def main():
     masses[1::3] = 1.008
     masses[2::3] = 1.008
 
-    run = make_md_step(plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds)
+    # size the static cell capacity from the actual initial density
+    # (native C++ occupancy scan + 25% fluctuation margin)
+    from nonbondedslicing_tpu.ops.neighbors import choose_cell_grid
+    from nonbondedslicing_tpu.runtime import native
+    cell_capacity = None
+    cfg = choose_cell_grid(plan.box0, plan.cutoff, n)
+    if cfg is not None:
+        occ = native.max_cell_occupancy(positions, plan.box0, cfg[0])
+        cell_capacity = max(8, int(np.ceil(max(occ * 1.25, occ + 6) / 4) * 4))
+
+    run = make_md_step(plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds,
+                       cell_capacity=cell_capacity)
 
     pos = jnp.asarray(positions, dtype)
     vel = jnp.zeros_like(pos)
@@ -115,9 +126,10 @@ def main():
     data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
             for k, v in engine_mod.plan_data(plan).items()}
 
-    # warmup/compile
+    # warmup/compile with the SAME static step count as the measurement
+    # (n_steps is a static argument; a different count would recompile)
     t0 = time.time()
-    pos1, vel1, energy = run(pos, vel, box_arr, gvals, data, 3)
+    pos1, vel1, energy = run(pos, vel, box_arr, gvals, data, STEPS_MEASURE)
     jax.block_until_ready(pos1)
     compile_time = time.time() - t0
 

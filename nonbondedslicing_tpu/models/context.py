@@ -344,6 +344,17 @@ class Context:
             box=[tuple(v) for v in self._box],
         )
 
+    # -------------------------------------------------- checkpoint / resume
+
+    def createCheckpoint(self):
+        """Dynamic state (positions, velocities, box, parameters) as bytes."""
+        from ..runtime.checkpoint import create_checkpoint
+        return create_checkpoint(self)
+
+    def loadCheckpoint(self, blob):
+        from ..runtime.checkpoint import load_checkpoint
+        load_checkpoint(self, blob)
+
     # ---------------------------------------------- force-facing internals
 
     def _update_force_parameters(self, force):

@@ -59,7 +59,7 @@ _CELL_LIST_MIN_PARTICLES = 1024
 
 
 def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
-                 block_size=None, neighbor="auto"):
+                 block_size=None, neighbor="auto", cell_capacity=None):
     method = plan.method
     is_ewald_family = method in EWALD_METHODS
     n = plan.num_particles
@@ -89,6 +89,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
         cell_cfg = neighbors.choose_cell_grid(plan.box0, plan.cutoff, n)
     if cell_cfg is not None:
         counts, capacity = cell_cfg
+        if cell_capacity is not None:
+            capacity = int(cell_capacity)
         direct_fn = neighbors.make_cell_direct_space(
             mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
             krf=krf, crf=crf, use_switch=plan.use_switch,

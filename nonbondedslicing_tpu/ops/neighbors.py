@@ -127,17 +127,12 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
     n_cells_pad = n_chunks * cells_per_chunk
     offsets = _neighbor_offsets()
 
-    def direct_space(positions, box, charge, sig_half, eps2, subsets,
-                     exclusion_list, slice_table, lam_coul, lam_vdw):
+    def prepare_tiles(positions, box, charge, sig_half, eps2, subsets,
+                      exclusion_list, nsub):
+        """Slot-sort atom features and build the rolled candidate tensors."""
         n = positions.shape[0]
         dtype = positions.dtype
         emax = exclusion_list.shape[1]
-        sl_tab = jnp.asarray(slice_table)
-        nsub = sl_tab.shape[0]
-        lam_c_nn = lam_coul[sl_tab]
-        lam_v_nn = lam_vdw[sl_tab]
-        spairs = jnp.asarray(slice_subsets(nsub))
-
         cell = cell_ids(positions, box, counts)
         table, _ = build_occupancy(cell, n, counts, capacity)
         slots = table.reshape(-1)  # (n_cells*capacity,), dummy = n
@@ -169,13 +164,37 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
 
         # pad cell dimension to a chunk multiple
         pc = n_cells_pad - n_cells
-        rows_feat = jnp.pad(sfeat.reshape(n_cells, capacity, nf),
-                            ((0, pc), (0, 0), (0, 0)))
-        rows_idx = jnp.pad(table, ((0, pc), (0, 0)), constant_values=n)
-        rows_excl = jnp.pad(sexcl.reshape(n_cells, capacity, emax),
-                            ((0, pc), (0, 0), (0, 0)), constant_values=-1)
-        cand_feat = jnp.pad(cand_feat, ((0, pc), (0, 0), (0, 0)))
-        cand_idx = jnp.pad(cand_idx, ((0, pc), (0, 0)), constant_values=n)
+        return dict(
+            rows_feat=jnp.pad(sfeat.reshape(n_cells, capacity, nf),
+                              ((0, pc), (0, 0), (0, 0))),
+            rows_idx=jnp.pad(table, ((0, pc), (0, 0)), constant_values=n),
+            rows_excl=jnp.pad(sexcl.reshape(n_cells, capacity, emax),
+                              ((0, pc), (0, 0), (0, 0)), constant_values=-1),
+            cand_feat=jnp.pad(cand_feat, ((0, pc), (0, 0), (0, 0))),
+            cand_idx=jnp.pad(cand_idx, ((0, pc), (0, 0)), constant_values=n),
+            slots=slots, nf=nf, emax=emax, pc=pc)
+
+    def direct_space(positions, box, charge, sig_half, eps2, subsets,
+                     exclusion_list, slice_table, lam_coul, lam_vdw):
+        n = positions.shape[0]
+        dtype = positions.dtype
+        sl_tab = jnp.asarray(slice_table)
+        nsub = sl_tab.shape[0]
+        lam_c_nn = lam_coul[sl_tab]
+        lam_v_nn = lam_vdw[sl_tab]
+        spairs = jnp.asarray(slice_subsets(nsub))
+
+        tiles = prepare_tiles(positions, box, charge, sig_half, eps2, subsets,
+                              exclusion_list, nsub)
+        rows_feat = tiles["rows_feat"]
+        rows_idx = tiles["rows_idx"]
+        rows_excl = tiles["rows_excl"]
+        cand_feat = tiles["cand_feat"]
+        cand_idx = tiles["cand_idx"]
+        slots = tiles["slots"]
+        nf = tiles["nf"]
+        emax = tiles["emax"]
+        pc = tiles["pc"]
 
         cutoff2 = jnp.asarray(cutoff * cutoff, dtype)
         g = cells_per_chunk
@@ -231,6 +250,10 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
             f_parts.reshape(-1, 3))
         return slice_energies, forces[:n]
 
+    direct_space.prepare_tiles = prepare_tiles
+    direct_space.config = dict(counts=counts, capacity=capacity,
+                               n_cells=n_cells, n_cells_pad=n_cells_pad,
+                               cells_per_chunk=cells_per_chunk)
     return direct_space
 
 

@@ -21,7 +21,7 @@ from ..ops.params import slice_lambdas
 
 
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
-                 bonds=None):
+                 bonds=None, cell_capacity=None):
     """Returns run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy).
 
     Leapfrog Verlet: v += dt*F/m; x += dt*v.  ``bonds`` is an optional
@@ -29,7 +29,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     step (periodic minimum image is NOT applied — bonded pairs are assumed
     never to straddle half the box).
     """
-    compute = engine_mod.make_compute(plan, True, True, block_size=block_size)
+    compute = engine_mod.make_compute(plan, True, True, block_size=block_size,
+                                      cell_capacity=cell_capacity)
     inv_m = jnp.asarray(np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300), 0.0),
                         dtype)[:, None]
     lam_source = plan.lam_source

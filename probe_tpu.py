@@ -70,6 +70,31 @@ def main():
             run("reciprocal-only", False, True)
         elif st == "full":
             run("full", True, True)
+        elif st == "scan_diag":
+            # separate fixed vs per-step cost of the scan
+            from functools import partial
+            compute = engine_mod.make_compute(plan, True, True)
+
+            @partial(jax.jit, static_argnums=(4,))
+            def scan_only(pos, box, gvals, data, n_steps):
+                def step(carry, _):
+                    p = carry
+                    _, forces = compute(p, box, gvals, data)
+                    return p + 1e-12 * forces, None
+                out, _ = jax.lax.scan(step, pos, None, length=n_steps)
+                return out
+
+            for steps in (1, 5, 20):
+                t0 = time.time()
+                out = scan_only(pos, box_arr, gvals, data, steps)
+                jax.block_until_ready(out)
+                t1 = time.time()
+                out = scan_only(pos, box_arr, gvals, data, steps)
+                jax.block_until_ready(out)
+                t2 = time.time()
+                print(f"scan_diag[{steps}]: compile+run={t1-t0:.1f}s "
+                      f"run={(t2-t1)*1e3:.1f}ms "
+                      f"per-step={(t2-t1)/steps*1e3:.1f}ms", flush=True)
         elif st == "md":
             from nonbondedslicing_tpu.runtime.fastpath import make_md_step
             masses = np.full(plan.num_particles, 15.999)
@@ -82,13 +107,18 @@ def main():
             p1, v1, en = runf(pos, vel, box_arr, gvals, data, 3)
             jax.block_until_ready(p1)
             t1 = time.time()
-            p2, v2, en = runf(p1, v1, box_arr, gvals, data, 100)
-            jax.block_until_ready(p2)
-            t2 = time.time()
-            ms = (t2 - t1) / 100 * 1e3
-            ns_day = 0.001 * 86400 / ((t2 - t1) / 100) / 1000
-            print(f"md-step: compile={t1-t0:.1f}s step={ms:.2f}ms "
-                  f"ns/day={ns_day:.1f} E={float(en):.1f}", flush=True)
+            print(f"md-step: compile={t1-t0:.1f}s", flush=True)
+            prev = None
+            for steps in (1, 5, 20, 100):
+                ta = time.time()
+                p1, v1, en = runf(p1, v1, box_arr, gvals, data, steps)
+                jax.block_until_ready(p1)
+                tb = time.time()
+                ms = (tb - ta) / steps * 1e3
+                ns_day = 0.001 * 86400 / ((tb - ta) / steps) / 1000
+                print(f"md-step[{steps}]: total={(tb-ta)*1e3:.0f}ms "
+                      f"per-step={ms:.2f}ms ns/day={ns_day:.1f} "
+                      f"E={float(en):.1f}", flush=True)
 
 if __name__ == "__main__":
     main()
