@@ -114,7 +114,8 @@ def main():
     cfg = choose_cell_grid(plan.box0, plan.cutoff, n)
     if cfg is not None:
         occ = native.max_cell_occupancy(positions, plan.box0, cfg[0])
-        cell_capacity = max(8, int(np.ceil(max(occ * 1.25, occ + 6) / 4) * 4))
+        # must cover the initial occupancy; +4 margin for drift between cells
+        cell_capacity = max(8, int(np.ceil((occ + 4) / 4) * 4))
 
     run = make_md_step(plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds,
                        cell_capacity=cell_capacity)

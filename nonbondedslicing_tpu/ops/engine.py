@@ -59,7 +59,8 @@ _CELL_LIST_MIN_PARTICLES = 1024
 
 
 def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
-                 block_size=None, neighbor="auto", cell_capacity=None):
+                 block_size=None, neighbor="auto", cell_capacity=None,
+                 hoist_eterm=False):
     method = plan.method
     is_ewald_family = method in EWALD_METHODS
     n = plan.num_particles
@@ -85,18 +86,27 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
     cell_cfg = None
     if (mode != direct.PLAIN and periodic and neighbor != "all_pairs"
             and plan.box0 is not None
-            and (neighbor == "cell" or n >= _CELL_LIST_MIN_PARTICLES)):
+            and (neighbor in ("cell", "pallas")
+                 or n >= _CELL_LIST_MIN_PARTICLES)):
         cell_cfg = neighbors.choose_cell_grid(plan.box0, plan.cutoff, n)
     if cell_cfg is not None:
         counts, capacity = cell_cfg
         if cell_capacity is not None:
             capacity = int(cell_capacity)
-        direct_fn = neighbors.make_cell_direct_space(
+        cell_kw = dict(
             mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
             krf=krf, crf=crf, use_switch=plan.use_switch,
             switch_distance=plan.switch_distance, ewald_alpha=plan.ewald_alpha,
             ljpme=(method == NonbondedForce.LJPME),
             dispersion_alpha=plan.dispersion_alpha, num_slices=nslices)
+        use_pallas = (neighbor == "pallas"
+                      or (neighbor == "auto"
+                          and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from . import pallas_direct
+            direct_fn = pallas_direct.make_pallas_direct_space(**cell_kw)
+        else:
+            direct_fn = neighbors.make_cell_direct_space(**cell_kw)
     else:
         direct_fn = direct.make_direct_space(
             mode=mode, periodic=periodic, cutoff=plan.cutoff, krf=krf, crf=crf,
@@ -109,6 +119,22 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
         kvec_ints = ewald.half_space_kvectors(plan.ewald_kmax)
     else:
         kvec_ints = None
+
+    # Box-static convolution kernels hoisted out of the per-step trace (MD
+    # fastpath only — invalid if the runtime box differs from plan.box0).
+    eterm0 = None
+    dterm0 = None
+    if hoist_eterm and method in (NonbondedForce.PME, NonbondedForce.LJPME):
+        from .geometry import recip_box_vectors
+        box0 = jnp.asarray(plan.box0)
+        recip0 = recip_box_vectors(box0)
+        eterm0 = pme.coulomb_eterm(plan.pme_grid, plan.pme_moduli, box0,
+                                   recip0, plan.ewald_alpha, jnp.float32,
+                                   half=True)
+        if method == NonbondedForce.LJPME:
+            dterm0 = pme.dispersion_eterm(
+                plan.dispersion_grid, plan.dpme_moduli, box0, recip0,
+                plan.dispersion_alpha, jnp.float32, half=True)
 
     def compute(positions, box, gvals, data):
         dtype = positions.dtype
@@ -155,7 +181,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                     positions, box, charge, subsets, lam_c,
                     alpha=alpha, grid_shape=plan.pme_grid,
                     moduli=plan.pme_moduli, num_subsets=nsub,
-                    slice_subset_pairs=slice_pairs, slice_table=slice_table)
+                    slice_subset_pairs=slice_pairs, slice_table=slice_table,
+                    eterm=(None if eterm0 is None else eterm0.astype(dtype)))
                 slice_energies = slice_energies.at[:, COUL].add(e_k)
                 forces = forces + f_k
                 if method == NonbondedForce.LJPME:
@@ -166,7 +193,9 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                         grid_shape=plan.dispersion_grid,
                         moduli=plan.dpme_moduli, num_subsets=nsub,
                         slice_subset_pairs=slice_pairs, slice_table=slice_table,
-                        dispersion=True)
+                        dispersion=True,
+                        eterm=(None if dterm0 is None
+                               else dterm0.astype(dtype)))
                     slice_energies = slice_energies.at[:, VDW].add(e_d)
                     forces = forces + f_d
 

@@ -1,0 +1,390 @@
+"""Pallas fused direct-space pair kernel (half-shell cell tiles).
+
+The XLA cell-list engine (ops/neighbors.py) visits every unordered pair twice
+(27-cell neighborhoods, row forces only) and materializes ~15 HBM-sized
+intermediates per step.  This kernel is the TPU speed-of-light version:
+
+* half-shell neighborhoods — the self cell plus the 13 lexicographically
+  positive offsets — visit each unordered pair exactly ONCE (Newton's third
+  law).  Column forces are emitted per offset and "rolled back" onto their
+  home cells with dense ``jnp.roll``s, so no scatter is needed beyond the
+  final slot->atom unsort.
+* the whole per-tile pipeline — minimum image, cutoff/exclusion masking,
+  LJ + Coulomb (reaction-field or Ewald-erfc), quintic switching, lambda
+  application, force reduction, per-slice energy moments — is fused in VMEM,
+  one cell tile per grid step.  It is the TPU analog of the reference's tiled
+  GPU pair kernel (kernels/coulombLennardJones.cc) with the per-slice register
+  accumulators replaced by subset one-hot matmuls (MXU).
+
+erfc uses the same Hastings/Abramowitz-Stegun 7.1.26 polynomial the reference
+compiles into its device kernels (kernels/coulombLennardJones.cc:18-24):
+max abs error ~1.5e-7 — adequate for the f32 fast path (the f64 oracle path
+uses the XLA engine).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.constants import ONE_4PI_EPS0, SQRT_PI
+from ..utils.indexing import slice_subsets
+from .direct import CUTOFF, EWALD_DIRECT
+from . import neighbors
+
+
+# self cell + 13 lexicographically positive offsets: each unordered cell pair
+# {c, c+off} appears exactly once
+HALF_OFFSETS = [(0, 0, 0)] + [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    if (dz, dy, dx) > (0, 0, 0)
+]
+assert len(HALF_OFFSETS) == 14
+
+
+def _erfc_hastings(x):
+    """A&S 7.1.26 polynomial erfc approximation (reference GPU kernels use
+    the same scheme in f32)."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
+                            krf=0.0, crf=0.0, use_switch=False,
+                            switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
+                            dispersion_alpha=0.0, interpret=False,
+                            cells_per_tile=1):
+    """Build the half-shell tile kernel.
+
+    f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
+      lam_c_nn, lam_v_nn) ->
+      (row_forces (cells, C, 3), col_forces (cells, 14*C, 3),
+       m_c (tiles, nsub, nsub), m_v (tiles, nsub, nsub))
+
+    Each grid step processes ``cells_per_tile`` cells with a statically
+    unrolled loop — single-cell tiles leave the core idle between grid steps.
+    """
+    assert mode in (CUTOFF, EWALD_DIRECT)
+    ncand = 14 * capacity
+    cutoff2 = cutoff * cutoff
+    G = cells_per_tile
+
+    def kernel(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
+               lamc_ref, lamv_ref, fout_ref, cout_ref, mc_ref, mv_ref):
+        mc_acc = jnp.zeros((nsub, nsub), rf_ref.dtype)
+        mv_acc = jnp.zeros((nsub, nsub), rf_ref.dtype)
+        for g in range(G):
+            mc_g, mv_g = _one_cell(box_ref, nreal_ref, rf_ref, ri_ref, re_ref,
+                                   cf_ref, ci_ref, lamc_ref, lamv_ref,
+                                   fout_ref, cout_ref, g)
+            mc_acc = mc_acc + mc_g
+            mv_acc = mv_acc + mv_g
+        mc_ref[0] = mc_acc
+        mv_ref[0] = mv_acc
+
+    def _one_cell(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
+                  lamc_ref, lamv_ref, fout_ref, cout_ref, g):
+        dtype = rf_ref.dtype
+        n = nreal_ref[0]
+        rf = rf_ref[g]            # (C, F)
+        cf = cf_ref[g]            # (14C, F)
+        ri = ri_ref[g, 0]         # (C,)
+        ci = ci_ref[g, 0]         # (14C,)
+
+        # ---- minimum image over the reduced triclinic box (c, b, a order)
+        dx = rf[:, 0:1] - cf[:, 0].reshape(1, ncand)
+        dy = rf[:, 1:2] - cf[:, 1].reshape(1, ncand)
+        dz = rf[:, 2:3] - cf[:, 2].reshape(1, ncand)
+        bzz = box_ref[2, 2]
+        nz = jnp.floor(dz / bzz + 0.5)
+        dx -= nz * box_ref[2, 0]
+        dy -= nz * box_ref[2, 1]
+        dz -= nz * bzz
+        byy = box_ref[1, 1]
+        ny = jnp.floor(dy / byy + 0.5)
+        dx -= ny * box_ref[1, 0]
+        dy -= ny * byy
+        bxx = box_ref[0, 0]
+        nx = jnp.floor(dx / bxx + 0.5)
+        dx -= nx * bxx
+        r2 = dx * dx + dy * dy + dz * dz     # (C, 14C)
+
+        ri_col = ri.reshape(capacity, 1)
+        ci_row = ci.reshape(1, ncand)
+        mask = (ri_col < n) & (ci_row < n)
+        mask &= r2 < cutoff2
+        # self-block (first C columns): visit each in-cell pair once (i < j)
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (capacity, ncand), 1)
+        mask &= (col_k >= capacity) | (ri_col < ci_row)
+        for e in range(emax):
+            mask &= ci_row != re_ref[g, :, e].reshape(capacity, 1)
+
+        one = jnp.ones((), dtype)
+        r2s = jnp.where(mask, r2, one)
+        rinv = jax.lax.rsqrt(r2s)
+        r = r2s * rinv
+
+        qq = rf[:, 3:4] * cf[:, 3].reshape(1, ncand)
+        sig = rf[:, 4:5] + cf[:, 4].reshape(1, ncand)
+        eps = rf[:, 5:6] * cf[:, 5].reshape(1, ncand)
+        sig2 = (sig * rinv) ** 2
+        sig6 = sig2 * sig2 * sig2
+
+        if use_switch:
+            t = jnp.clip((r - switch_distance) / (cutoff - switch_distance),
+                         0.0, 1.0)
+            sw_val = 1 + t * t * t * (-10 + t * (15 - t * 6))
+            sw_der = t * t * (-30 + t * (60 - t * 30)) / (cutoff - switch_distance)
+        else:
+            sw_val, sw_der = one, jnp.zeros((), dtype)
+
+        dedr_vdw = sw_val * eps * (12.0 * sig6 - 6.0) * sig6 * rinv * rinv
+        e_vdw = eps * (sig6 - 1.0) * sig6
+
+        if mode == CUTOFF:
+            e_coul = ONE_4PI_EPS0 * qq * (rinv + krf * r2s - crf)
+            dedr_coul = ONE_4PI_EPS0 * qq * (rinv - 2.0 * krf * r2s) \
+                * rinv * rinv
+        else:
+            alpha_r = ewald_alpha * r
+            erfc_ar = _erfc_hastings(alpha_r)
+            gauss = jnp.exp(-alpha_r * alpha_r)
+            e_coul = ONE_4PI_EPS0 * qq * rinv * erfc_ar
+            dedr_coul = (ONE_4PI_EPS0 * qq * rinv * rinv * rinv
+                         * (erfc_ar + 2.0 * alpha_r * gauss / SQRT_PI))
+            if ljpme:
+                dar = dispersion_alpha * r
+                dar2 = dar * dar
+                dar4 = dar2 * dar2
+                dar6 = dar4 * dar2
+                rinv2 = rinv * rinv
+                rinv6 = rinv2 * rinv2 * rinv2
+                c6i = 8.0 * rf[:, 4:5] ** 3 * rf[:, 5:6]
+                c6j = (8.0 * cf[:, 4] ** 3 * cf[:, 5]).reshape(1, ncand)
+                c6ij = c6i * c6j
+                expd = jnp.exp(-dar2)
+                emult = c6ij * rinv6 * (1.0 - expd * (1.0 + dar2 + 0.5 * dar4))
+                dedr_vdw = dedr_vdw + 6.0 * c6ij * rinv6 * rinv2 * (
+                    1.0 - expd * (1.0 + dar2 + 0.5 * dar4 + dar6 / 6.0))
+                inv_cut2 = 1.0 / cutoff2
+                inv_cut6 = inv_cut2 * inv_cut2 * inv_cut2
+                sigc6 = sig ** 6
+                shift = eps * (1.0 - sigc6 * inv_cut6) * sigc6 * inv_cut6
+                darc = dispersion_alpha * cutoff
+                darc2 = darc * darc
+                darc4 = darc2 * darc2
+                shift = shift - c6ij * inv_cut6 * (
+                    1.0 - math.exp(-darc2) * (1.0 + darc2 + 0.5 * darc4))
+                e_vdw = e_vdw + emult + shift
+
+        if use_switch:
+            dedr_vdw = dedr_vdw - e_vdw * sw_der * rinv
+            e_vdw = e_vdw * sw_val
+
+        oh_i = rf[:, 6:6 + nsub]                       # (C, nsub)
+        oh_j = cf[:, 6:6 + nsub]                       # (14C, nsub)
+        lam_cp = jnp.dot(jnp.dot(oh_i, lamc_ref[...],
+                                 preferred_element_type=dtype),
+                         oh_j.T, preferred_element_type=dtype)
+        lam_vp = jnp.dot(jnp.dot(oh_i, lamv_ref[...],
+                                 preferred_element_type=dtype),
+                         oh_j.T, preferred_element_type=dtype)
+        zero = jnp.zeros((), dtype)
+        factor = jnp.where(mask, lam_vp * dedr_vdw + lam_cp * dedr_coul, zero)
+        fx = factor * dx
+        fy = factor * dy
+        fz = factor * dz
+        fout_ref[g] = jnp.stack(
+            [jnp.sum(fx, axis=1), jnp.sum(fy, axis=1), jnp.sum(fz, axis=1)],
+            axis=-1)
+        # Newton's third law: column atoms get the negated sum over rows
+        cout_ref[g] = -jnp.stack(
+            [jnp.sum(fx, axis=0), jnp.sum(fy, axis=0), jnp.sum(fz, axis=0)],
+            axis=-1)
+
+        e_coul = jnp.where(mask, e_coul, zero)
+        e_vdw = jnp.where(mask, e_vdw, zero)
+        mc = jnp.dot(oh_i.T, jnp.dot(e_coul, oh_j,
+                                     preferred_element_type=dtype),
+                     preferred_element_type=dtype)
+        mv = jnp.dot(oh_i.T, jnp.dot(e_vdw, oh_j,
+                                     preferred_element_type=dtype),
+                     preferred_element_type=dtype)
+        return mc, mv
+
+    def _call(dtype, ncp, nf, nreal, rows_feat, rows_idx, rows_excl,
+              cand_feat, cand_idx, lam_c_nn, lam_v_nn, box):
+        n_tiles = ncp // G
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # box (3,3)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # n_real (1,)
+                pl.BlockSpec((G, capacity, nf), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 1, capacity), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, capacity, emax), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, ncand, nf), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 1, ncand), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # lam_c (nsub, nsub)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # lam_v
+            ],
+            out_specs=[
+                pl.BlockSpec((G, capacity, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, ncand, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nsub, nsub), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nsub, nsub), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ncp, capacity, 3), dtype),
+                jax.ShapeDtypeStruct((ncp, ncand, 3), dtype),
+                jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
+                jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(box.astype(dtype), nreal, rows_feat, rows_idx[:, None, :],
+          rows_excl, cand_feat, cand_idx[:, None, :],
+          lam_c_nn.astype(dtype), lam_v_nn.astype(dtype))
+
+    def run(rows_feat, rows_idx, rows_excl, cand_feat, cand_idx, lam_c_nn,
+            lam_v_nn, box, n_real):
+        ncp = rows_feat.shape[0]
+        nf = rows_feat.shape[2]
+        dtype = rows_feat.dtype
+        # pad the cell dimension to a tile multiple (padded cells hold only
+        # the dummy index n_real and are fully masked)
+        pad = (-ncp) % G
+        if pad:
+            rows_feat = jnp.pad(rows_feat, ((0, pad), (0, 0), (0, 0)))
+            rows_idx = jnp.pad(rows_idx, ((0, pad), (0, 0)),
+                               constant_values=n_real)
+            rows_excl = jnp.pad(rows_excl, ((0, pad), (0, 0), (0, 0)),
+                                constant_values=-1)
+            cand_feat = jnp.pad(cand_feat, ((0, pad), (0, 0), (0, 0)))
+            cand_idx = jnp.pad(cand_idx, ((0, pad), (0, 0)),
+                               constant_values=n_real)
+            ncp += pad
+        nreal = jnp.asarray([n_real], dtype=jnp.int32)
+        # Mosaic cannot legalize the i64 index-map constants that x64 mode
+        # produces; all kernel operands are f32/int32, so trace without x64
+        import contextlib
+        x64_off = (jax.enable_x64(False) if hasattr(jax, "enable_x64")
+                   else contextlib.nullcontext())
+        with x64_off:
+            out = _call(dtype, ncp, nf, nreal, rows_feat, rows_idx,
+                        rows_excl, cand_feat, cand_idx, lam_c_nn, lam_v_nn,
+                        box)
+        return out, pad
+
+    return run
+
+
+def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
+                             crf=0.0, use_switch=False, switch_distance=0.0,
+                             ewald_alpha=0.0, ljpme=False,
+                             dispersion_alpha=0.0, num_slices=1,
+                             interpret=False):
+    """Drop-in replacement for neighbors.make_cell_direct_space using the
+    fused half-shell Pallas kernel (f32 fast path; f64 falls back to XLA)."""
+    base = neighbors.make_cell_direct_space(
+        mode=mode, cutoff=cutoff, counts=counts, capacity=capacity, krf=krf,
+        crf=crf, use_switch=use_switch, switch_distance=switch_distance,
+        ewald_alpha=ewald_alpha, ljpme=ljpme,
+        dispersion_alpha=dispersion_alpha, num_slices=num_slices)
+    ncx, ncy, ncz = counts
+    n_cells = ncx * ncy * ncz
+    kern_cache = {}
+
+    def direct_space(positions, box, charge, sig_half, eps2, subsets,
+                     exclusion_list, slice_table, lam_coul, lam_vdw):
+        if positions.dtype != jnp.float32:
+            # f64 oracle path stays on the XLA engine (Pallas TPU is f32)
+            return base(positions, box, charge, sig_half, eps2, subsets,
+                        exclusion_list, slice_table, lam_coul, lam_vdw)
+        n = positions.shape[0]
+        dtype = positions.dtype
+        emax = exclusion_list.shape[1]
+        sl_tab = jnp.asarray(slice_table)
+        nsub = int(sl_tab.shape[0])
+        lam_c_nn = lam_coul[sl_tab]
+        lam_v_nn = lam_vdw[sl_tab]
+        spairs = np.asarray(slice_subsets(nsub))
+
+        # ---- slot-sort features (single gather), half-shell candidates
+        cell = neighbors.cell_ids(positions, box, counts)
+        table, _ = neighbors.build_occupancy(cell, n, counts, capacity)
+        slots = table.reshape(-1)
+        oh = (subsets[:, None]
+              == jnp.arange(nsub, dtype=subsets.dtype)).astype(dtype)
+        feat = jnp.concatenate([positions, charge[:, None], sig_half[:, None],
+                                eps2[:, None], oh], axis=1)
+        nf = feat.shape[1]
+        feat_p = jnp.concatenate([feat, jnp.zeros((1, nf), dtype)], axis=0)
+        sfeat = feat_p[slots]
+        excl_p = jnp.concatenate(
+            [exclusion_list,
+             jnp.full((1, emax), -1, exclusion_list.dtype)], axis=0)
+        sexcl = excl_p[slots].reshape(n_cells, capacity, emax)
+
+        grid_feat = sfeat.reshape(ncx, ncy, ncz, capacity, nf)
+        grid_idx = slots.reshape(ncx, ncy, ncz, capacity)
+        cand_feat = jnp.concatenate(
+            [jnp.roll(grid_feat, (-dx, -dy, -dz), axis=(0, 1, 2))
+             .reshape(n_cells, capacity, nf) for (dx, dy, dz) in HALF_OFFSETS],
+            axis=1)                                     # (cells, 14C, F)
+        cand_idx = jnp.concatenate(
+            [jnp.roll(grid_idx, (-dx, -dy, -dz), axis=(0, 1, 2))
+             .reshape(n_cells, capacity) for (dx, dy, dz) in HALF_OFFSETS],
+            axis=1)
+
+        key = (nsub, emax, nf)
+        if key not in kern_cache:
+            kern_cache[key] = make_pallas_cell_kernel(
+                mode=mode, cutoff=cutoff, counts=counts, capacity=capacity,
+                nsub=nsub, emax=emax, krf=krf, crf=crf, use_switch=use_switch,
+                switch_distance=switch_distance, ewald_alpha=ewald_alpha,
+                ljpme=ljpme, dispersion_alpha=dispersion_alpha,
+                interpret=interpret)
+        (row_f, col_f, m_c, m_v), _ = kern_cache[key](
+            sfeat.reshape(n_cells, capacity, nf), table, sexcl,
+            cand_feat, cand_idx, lam_c_nn, lam_v_nn, box, n)
+        row_f = row_f[:n_cells]
+        col_f = col_f[:n_cells]
+
+        mc = jnp.sum(m_c, axis=0)
+        mv = jnp.sum(m_v, axis=0)
+        a = jnp.asarray(spairs[:, 0])
+        b = jnp.asarray(spairs[:, 1])
+        # half-shell: each unordered pair counted once -> no 1/2 weights
+        ec = jnp.where(a == b, mc[a, a], mc[a, b] + mc[b, a])
+        ev = jnp.where(a == b, mv[a, a], mv[a, b] + mv[b, a])
+        slice_energies = jnp.stack([ec, ev], axis=-1)
+
+        # roll per-offset column forces back onto their home cells
+        slot_f = row_f.reshape(ncx, ncy, ncz, capacity, 3)
+        col_f = col_f.reshape(ncx, ncy, ncz, 14, capacity, 3)
+        for k, (dx, dy, dz) in enumerate(HALF_OFFSETS):
+            slot_f = slot_f + jnp.roll(col_f[:, :, :, k], (dx, dy, dz),
+                                       axis=(0, 1, 2))
+        forces = jnp.zeros((n + 1, 3), dtype).at[slots].add(
+            slot_f.reshape(-1, 3))
+        return slice_energies, forces[:n]
+
+    return direct_space

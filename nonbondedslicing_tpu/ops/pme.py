@@ -140,12 +140,101 @@ def spread_charges(charges, subsets, index, theta, grid_shape, num_subsets, orde
 
 def _dense_chunk_size(grid_shape, n):
     """Atom-chunk size for the dense spread/interp paths, keeping the
-    (B, ny*nz) plane intermediate under ~32 MB."""
+    (B, ny*nz) plane intermediate under ~128 MB (large chunks keep the MXU
+    matmuls off the latency floor)."""
     ny, nz = grid_shape[1], grid_shape[2]
-    b = 1024
-    while b > 128 and b * ny * nz * 4 > 32 * 1024 * 1024:
+    b = 4096
+    while b > 128 and b * ny * nz * 4 > 128 * 1024 * 1024:
         b //= 2
     return min(b, max(8, n))
+
+
+# --------------------------------------------------- DFT-by-matmul (MXU FFT)
+
+_MATMUL_DFT_MAX = 512  # use MXU DFT matmuls for axes up to this size
+
+
+def _dft_mats(n, dtype):
+    k = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, k) / n
+    return (jnp.asarray(np.cos(ang), dtype), jnp.asarray(-np.sin(ang), dtype))
+
+
+def _rdft_mats(n, dtype):
+    nr = n // 2 + 1
+    ang = 2.0 * np.pi * np.outer(np.arange(n), np.arange(nr)) / n
+    return (jnp.asarray(np.cos(ang), dtype), jnp.asarray(-np.sin(ang), dtype))
+
+
+def _irdft_mats(n, dtype):
+    """(nr, n) matrices for the UNNORMALIZED real synthesis from a z-half
+    spectrum: x[z] = sum_k w_k (Re S_k cos(2 pi k z / n) - Im S_k sin(...))
+    with conjugate-pair weights w."""
+    nr = n // 2 + 1
+    w = np.full(nr, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    ang = 2.0 * np.pi * np.outer(np.arange(nr), np.arange(n)) / n
+    return (jnp.asarray(np.cos(ang) * w[:, None], dtype),
+            jnp.asarray(np.sin(ang) * w[:, None], dtype))
+
+
+def _cmatmul_last(re, im, mats):
+    """Complex contraction of the last axis with a complex DFT matrix given
+    as (cos, -sin) real parts — 4 real MXU matmuls at HIGH precision."""
+    br, bi = mats
+    prec = jax.lax.Precision.HIGH
+    out_re = (jnp.einsum("...z,zk->...k", re, br, precision=prec)
+              - jnp.einsum("...z,zk->...k", im, bi, precision=prec))
+    out_im = (jnp.einsum("...z,zk->...k", re, bi, precision=prec)
+              + jnp.einsum("...z,zk->...k", im, br, precision=prec))
+    return out_re, out_im
+
+
+def rfft3_matmul(grid):
+    """jnp.fft.rfftn(grid, axes=(1,2,3)) computed as per-axis DFT matmuls on
+    the MXU — XLA's TPU FFT is latency-bound at MD grid sizes (~80^3), while
+    the equivalent (n, n) matmuls are a few GFLOP.  Returns (re, im)."""
+    _, nx, ny, nz = grid.shape
+    dtype = grid.dtype
+    prec = jax.lax.Precision.HIGH
+    zr, zi = _rdft_mats(nz, dtype)
+    re = jnp.einsum("sxyz,zk->sxyk", grid, zr, precision=prec)
+    im = jnp.einsum("sxyz,zk->sxyk", grid, zi, precision=prec)
+    re, im = _cmatmul_last(re.swapaxes(2, 3), im.swapaxes(2, 3),
+                           _dft_mats(ny, dtype))       # now (s, x, kz, ky)
+    re, im = _cmatmul_last(re.swapaxes(1, 3), im.swapaxes(1, 3),
+                           _dft_mats(nx, dtype))       # now (s, ky, kz, kx)
+    return re.transpose(0, 3, 1, 2), im.transpose(0, 3, 1, 2)
+
+
+def irfft3_matmul(re, im, grid_shape):
+    """Unnormalized inverse of rfft3_matmul (= irfftn * nx*ny*nz, the
+    synthesis convention the PME potential grid uses)."""
+    nx, ny, nz = grid_shape
+    dtype = re.dtype
+    prec = jax.lax.Precision.HIGH
+
+    def icmatmul(re, im, n):
+        # unnormalized inverse along the last axis: multiply by conj(F)
+        # where F = (cos) + i(-sin); conj(F) = cos + i sin
+        c, nsin = _dft_mats(n, dtype)
+        s = -nsin
+        out_re = (jnp.einsum("...z,zk->...k", re, c, precision=prec)
+                  - jnp.einsum("...z,zk->...k", im, s, precision=prec))
+        out_im = (jnp.einsum("...z,zk->...k", re, s, precision=prec)
+                  + jnp.einsum("...z,zk->...k", im, c, precision=prec))
+        return out_re, out_im
+
+    # (s, kx, ky, kz) -> contract kx (move to last)
+    re, im = icmatmul(re.swapaxes(1, 3), im.swapaxes(1, 3), nx)
+    # now (s, kz, ky, x); contract ky
+    re, im = icmatmul(re.swapaxes(2, 3), im.swapaxes(2, 3), ny)
+    # now (s, kz, x, y); contract kz with the real synthesis matrices
+    zr, zi = _irdft_mats(nz, dtype)
+    return (jnp.einsum("skxy,kz->sxyz", re, zr, precision=prec)
+            - jnp.einsum("skxy,kz->sxyz", im, zi, precision=prec))
 
 
 def _dense_axis_splines(index, theta, dtheta, grid_shape, order):
@@ -200,7 +289,10 @@ def spread_charges_dense(charges, subsets, index, theta, dtheta, grid_shape,
         qsx = jnp.einsum("bs,bx->bsx", soh * q[:, None], tx).reshape(
             b, num_subsets * nx)
         plane = jnp.einsum("by,bz->byz", ty, tz).reshape(b, ny * nz)
-        return jnp.dot(qsx.T, plane, preferred_element_type=charges.dtype)
+        # HIGH (bf16x3) keeps ~1e-6 relative accuracy at 2x the speed of the
+        # global HIGHEST default; the spread sum is well conditioned
+        return jnp.dot(qsx.T, plane, preferred_element_type=charges.dtype,
+                       precision=jax.lax.Precision.HIGH)
 
     starts = jnp.arange(0, n_pad, b)
     grid = jax.lax.map(chunk, starts).sum(axis=0)
@@ -239,11 +331,13 @@ def interpolate_forces_dense(phi, charges, subsets, index, theta, dtheta,
             idx, th, dth, grid_shape, order)
         sx = jnp.einsum("bs,bx->bsx", soh, tx).reshape(b, nsub * nx)
         sdx = jnp.einsum("bs,bx->bsx", soh, dtx).reshape(b, nsub * nx)
-        # A*[b, y, z]: potential with x contracted by theta / dtheta
-        a_t = jnp.dot(sx, phi_mat,
-                      preferred_element_type=dtype).reshape(b, ny, nz)
-        a_d = jnp.dot(sdx, phi_mat,
-                      preferred_element_type=dtype).reshape(b, ny, nz)
+        # A*[b, y, z]: potential with x contracted by theta / dtheta; one
+        # stacked matmul at HIGH precision (see spread_charges_dense)
+        both = jnp.dot(jnp.concatenate([sx, sdx], axis=0), phi_mat,
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGH)
+        a_t = both[:b].reshape(b, ny, nz)
+        a_d = both[b:].reshape(b, ny, nz)
         fx = jnp.einsum("byz,by,bz->b", a_d, ty, tz)
         fy = jnp.einsum("byz,by,bz->b", a_t, dty, tz)
         fz = jnp.einsum("byz,by,bz->b", a_t, ty, dtz)
@@ -259,15 +353,18 @@ def interpolate_forces_dense(phi, charges, subsets, index, theta, dtheta,
     return jnp.stack([f0, f1, f2], axis=-1)
 
 
-def _freq_components(grid_shape, recip, dtype):
-    """Scaled frequency vectors mh and |m|^2 over the full grid."""
+def _freq_components(grid_shape, recip, dtype, half=False):
+    """Scaled frequency vectors mh and |m|^2 over the full (or z-half) grid."""
     nx, ny, nz = grid_shape
     def freqs(n):
         k = np.arange(n)
         return np.where(k < (n + 1) // 2, k, k - n)
     mx = jnp.asarray(freqs(nx), dtype)[:, None, None]
     my = jnp.asarray(freqs(ny), dtype)[None, :, None]
-    mz = jnp.asarray(freqs(nz), dtype)[None, None, :]
+    if half:
+        mz = jnp.asarray(np.arange(nz // 2 + 1), dtype)[None, None, :]
+    else:
+        mz = jnp.asarray(freqs(nz), dtype)[None, None, :]
     mhx = mx * recip[0, 0]
     mhy = mx * recip[1, 0] + my * recip[1, 1]
     mhz = mx * recip[2, 0] + my * recip[2, 1] + mz * recip[2, 2]
@@ -275,15 +372,29 @@ def _freq_components(grid_shape, recip, dtype):
     return m2
 
 
-def coulomb_eterm(grid_shape, moduli, box, recip, alpha, dtype):
+def rfft_energy_weights(nz, dtype):
+    """Full-spectrum equivalence weights for the z-half-space layout: modes
+    0 and (even) nz/2 are self-conjugate (weight 1), the rest represent a
+    +/-k pair (weight 2) — same convention as the reference's R2C kernels
+    (kernels/pme.cc:138-189)."""
+    nzr = nz // 2 + 1
+    w = np.full(nzr, 2.0)
+    w[0] = 1.0
+    if nz % 2 == 0:
+        w[-1] = 1.0
+    return jnp.asarray(w, dtype)
+
+
+def coulomb_eterm(grid_shape, moduli, box, recip, alpha, dtype, half=False):
     """Reciprocal-space convolution kernel (ReferencePME.cpp:400-496)."""
     nx, ny, nz = grid_shape
-    m2 = _freq_components(grid_shape, recip, dtype)
+    m2 = _freq_components(grid_shape, recip, dtype, half)
     volume = box[0, 0] * box[1, 1] * box[2, 2]
     boxfactor = math.pi * volume
     bx = boxfactor * jnp.asarray(moduli[0], dtype)[:, None, None]
     by = jnp.asarray(moduli[1], dtype)[None, :, None]
-    bz = jnp.asarray(moduli[2], dtype)[None, None, :]
+    bz = jnp.asarray(moduli[2][:nz // 2 + 1] if half else moduli[2],
+                     dtype)[None, None, :]
     factor = math.pi * math.pi / (alpha * alpha)
     denom = m2 * bx * by * bz
     safe = denom != 0
@@ -295,15 +406,17 @@ def coulomb_eterm(grid_shape, moduli, box, recip, alpha, dtype):
     return eterm.at[0, 0, 0].set(0.0)
 
 
-def dispersion_eterm(grid_shape, moduli, box, recip, alpha, dtype):
+def dispersion_eterm(grid_shape, moduli, box, recip, alpha, dtype, half=False):
     """LJPME dispersion convolution kernel, including the m=0 term
     (ReferencePME.cpp:499-595)."""
-    m2 = _freq_components(grid_shape, recip, dtype)
+    nz = grid_shape[2]
+    m2 = _freq_components(grid_shape, recip, dtype, half)
     volume = box[0, 0] * box[1, 1] * box[2, 2]
     boxfactor = -2.0 * math.pi * math.sqrt(math.pi) / (6.0 * volume)
     bx = jnp.asarray(moduli[0], dtype)[:, None, None]
     by = jnp.asarray(moduli[1], dtype)[None, :, None]
-    bz = jnp.asarray(moduli[2], dtype)[None, None, :]
+    bz = jnp.asarray(moduli[2][:nz // 2 + 1] if half else moduli[2],
+                     dtype)[None, None, :]
     bfac = math.pi / alpha
     fac1 = 2.0 * math.pi ** 3 * math.sqrt(math.pi)
     fac2 = alpha ** 3
@@ -315,6 +428,19 @@ def dispersion_eterm(grid_shape, moduli, box, recip, alpha, dtype):
     eterm = (fac1 * erfc(b) * m3 + jnp.exp(-b * b) * (fac2 + fac3 * m2)) \
         * boxfactor / (bx * by * bz)
     return eterm
+
+
+def pme_slice_energies_ri(re, im, eterm_weighted, slice_subset_pairs):
+    """pme_slice_energies for spectra given as (re, im) real pairs."""
+    nsub = re.shape[0]
+    fr = re.reshape(nsub, -1)
+    fi = im.reshape(nsub, -1)
+    ew = eterm_weighted.reshape(-1)[None, :]
+    emat = (fr * ew) @ fr.T + (fi * ew) @ fi.T
+    pair_i = slice_subset_pairs[:, 0]
+    pair_j = slice_subset_pairs[:, 1]
+    scale = jnp.where(pair_i == pair_j, 0.5, 1.0).astype(emat.dtype)
+    return scale * emat[pair_i, pair_j]
 
 
 def pme_slice_energies(spectra, eterm, slice_subset_pairs):
@@ -365,12 +491,15 @@ _DENSE_MIN_PARTICLES = 1024
 
 def pme_reciprocal(positions, box, charges, subsets, lam_s, *, alpha, grid_shape,
                    moduli, num_subsets, slice_subset_pairs, slice_table,
-                   dispersion=False, order=5, dense=None):
+                   dispersion=False, order=5, dense=None, eterm=None):
     """Full sliced-PME pipeline for one term (Coulomb charges or LJPME c6s).
 
     Returns (slice_energies (S,), forces (N, 3)).  ``dense`` selects the
     MXU matmul spread/interp path (default: automatic by particle count;
     scatter/gather is faster for small systems, matmuls for large ones).
+    ``eterm`` optionally supplies a precomputed convolution kernel (valid
+    only while the box is unchanged — the MD fastpath hoists it out of the
+    step loop).
     """
     if dense is None:
         dense = positions.shape[0] >= _DENSE_MIN_PARTICLES
@@ -383,18 +512,32 @@ def pme_reciprocal(positions, box, charges, subsets, lam_s, *, alpha, grid_shape
     else:
         grid = spread_charges(charges, subsets, index, theta, grid_shape,
                               num_subsets, order)
-    spectra = jnp.fft.fftn(grid, axes=(1, 2, 3))
-    if dispersion:
-        eterm = dispersion_eterm(grid_shape, moduli, box, recip, alpha,
-                                 positions.dtype)
-    else:
-        eterm = coulomb_eterm(grid_shape, moduli, box, recip, alpha,
-                              positions.dtype)
-    slice_energies = pme_slice_energies(spectra, eterm, slice_subset_pairs)
     nx, ny, nz = grid_shape
-    # unnormalized inverse transform: phi(r) = sum_k eterm*S(k) e^{+ik.r}
-    phi = jnp.real(jnp.fft.ifftn(spectra * eterm[None], axes=(1, 2, 3))) \
-        * (nx * ny * nz)
+    if eterm is None:
+        if dispersion:
+            eterm = dispersion_eterm(grid_shape, moduli, box, recip, alpha,
+                                     positions.dtype, half=True)
+        else:
+            eterm = coulomb_eterm(grid_shape, moduli, box, recip, alpha,
+                                  positions.dtype, half=True)
+    w = rfft_energy_weights(nz, positions.dtype)
+    # real-input transforms: z-half-space spectrum, half the FFT/convolution
+    # work (the R2C layout of the reference GPU path, kernels/pme.cc:138-189)
+    if max(grid_shape) <= _MATMUL_DFT_MAX:
+        # per-axis DFT matmuls on the MXU: XLA's TPU FFT is latency-bound at
+        # MD grid sizes, the equivalent (n, n) matmuls are ~100x faster
+        s_re, s_im = rfft3_matmul(grid)
+        slice_energies = pme_slice_energies_ri(
+            s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+        phi = irfft3_matmul(s_re * eterm[None], s_im * eterm[None],
+                            grid_shape)
+    else:
+        spectra = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+        slice_energies = pme_slice_energies(spectra, eterm * w[None, None, :],
+                                            slice_subset_pairs)
+        # unnormalized inverse: phi(r) = sum_k eterm*S(k) e^{+ik.r}
+        phi = jnp.fft.irfftn(spectra * eterm[None], axes=(1, 2, 3),
+                             s=grid_shape) * (nx * ny * nz)
     lam_nn = lam_s[jnp.asarray(slice_table)]
     if dense:
         forces = interpolate_forces_dense(phi, charges, subsets, index, theta,

@@ -30,7 +30,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     never to straddle half the box).
     """
     compute = engine_mod.make_compute(plan, True, True, block_size=block_size,
-                                      cell_capacity=cell_capacity)
+                                      cell_capacity=cell_capacity,
+                                      hoist_eterm=True)
     inv_m = jnp.asarray(np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300), 0.0),
                         dtype)[:, None]
     lam_source = plan.lam_source
