@@ -62,6 +62,9 @@ def build_system():
         force.addParticle(qH, 0.1, 0.0)
         force.addParticle(qH, 0.1, 0.0)
         o = 3 * k
+        # uniform jitter decorrelates molecules from the lattice (lattice
+        # beating against the neighbor-cell grid inflates max occupancy)
+        center = center + rng.uniform(-0.2, 0.2, 3) * spacing
         positions[o] = center
         positions[o + 1] = center + (0.09572, 0, 0)
         positions[o + 2] = center + (-0.0239, 0.0927, 0)

@@ -254,6 +254,34 @@ class Context:
                     "The periodic box size has decreased to less than twice "
                     "the nonbonded cutoff.")
 
+    def _check_exclusion_span(self, comp):
+        """The fused TPU exclusion-correction path requires excluded pairs
+        within one cell width (true for bonded exclusions in any molecular
+        system); reject pathological systems instead of mis-computing."""
+        import jax
+
+        plan = comp.plan
+        if (jax.default_backend() != "tpu"
+                or plan.method not in EWALD_METHODS
+                or len(plan.exclusion_pairs) == 0
+                or self._dtype != jnp.float32
+                or plan.num_particles < engine_mod._CELL_LIST_MIN_PARTICLES):
+            return
+        from ..ops.neighbors import choose_cell_grid
+        cfg = choose_cell_grid(plan.box0, plan.cutoff, plan.num_particles)
+        if cfg is None:
+            return  # all-pairs engine; no locality requirement
+        counts = np.asarray(cfg[0])
+        widths = np.diag(self._box) / counts
+        dr = (self._positions[plan.exclusion_pairs[:, 0]]
+              - self._positions[plan.exclusion_pairs[:, 1]])
+        dr -= np.diag(self._box) * np.floor(dr / np.diag(self._box) + 0.5)
+        if np.any(np.abs(dr) >= widths):
+            raise OpenMMException(
+                "SlicedNonbondedForce: an excluded pair spans more than one "
+                "neighbor-list cell; the TPU fast path requires excluded "
+                "pairs to be bonded-range. Use the Reference platform.")
+
     def _gvals(self, compiled):
         return jnp.asarray([self._parameters[name]
                             for name in compiled.plan.global_names],
@@ -285,6 +313,7 @@ class Context:
                 if not (include_direct or include_reciprocal):
                     continue
                 self._check_box(force)
+                self._check_exclusion_span(comp)
                 fn = comp.fn(include_direct, include_reciprocal)
                 positions = jnp.asarray(pos64, dtype=comp.dtype)
                 box = jnp.asarray(self._box, dtype=comp.dtype)

@@ -104,7 +104,10 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                           and jax.default_backend() == "tpu"))
         if use_pallas:
             from . import pallas_direct
-            direct_fn = pallas_direct.make_pallas_direct_space(**cell_kw)
+            direct_fn = pallas_direct.make_pallas_direct_space(
+                exceptions_periodic=plan.exceptions_periodic,
+                exclusion_pairs=plan.exclusion_pairs,
+                interpret=(jax.default_backend() != "tpu"), **cell_kw)
         else:
             direct_fn = neighbors.make_cell_direct_space(**cell_kw)
     else:
@@ -206,7 +209,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
             slice_energies = slice_energies + e_dir
             forces = forces + f_dir
 
-            if is_ewald_family:
+            if is_ewald_family and not getattr(direct_fn,
+                                               "handles_exclusions", False):
                 e_x, f_x = bonded.exclusion_corrections(
                     positions, box, data["exclusion_pairs"], charge, sig_half,
                     eps2, subsets, slice_table, lam_c, lam_v,

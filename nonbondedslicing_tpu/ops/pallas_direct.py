@@ -59,7 +59,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                             krf=0.0, crf=0.0, use_switch=False,
                             switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
                             dispersion_alpha=0.0, interpret=False,
-                            cells_per_tile=1):
+                            cells_per_tile=1, exceptions_periodic=False):
     """Build the half-shell tile kernel.
 
     f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
@@ -98,9 +98,10 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         ci = ci_ref[g, 0]         # (14C,)
 
         # ---- minimum image over the reduced triclinic box (c, b, a order)
-        dx = rf[:, 0:1] - cf[:, 0].reshape(1, ncand)
-        dy = rf[:, 1:2] - cf[:, 1].reshape(1, ncand)
-        dz = rf[:, 2:3] - cf[:, 2].reshape(1, ncand)
+        dx0 = rf[:, 0:1] - cf[:, 0].reshape(1, ncand)
+        dy0 = rf[:, 1:2] - cf[:, 1].reshape(1, ncand)
+        dz0 = rf[:, 2:3] - cf[:, 2].reshape(1, ncand)
+        dx, dy, dz = dx0, dy0, dz0
         bzz = box_ref[2, 2]
         nz = jnp.floor(dz / bzz + 0.5)
         dx -= nz * box_ref[2, 0]
@@ -117,13 +118,14 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
 
         ri_col = ri.reshape(capacity, 1)
         ci_row = ci.reshape(1, ncand)
-        mask = (ri_col < n) & (ci_row < n)
-        mask &= r2 < cutoff2
+        real = (ri_col < n) & (ci_row < n)
         # self-block (first C columns): visit each in-cell pair once (i < j)
         col_k = jax.lax.broadcasted_iota(jnp.int32, (capacity, ncand), 1)
-        mask &= (col_k >= capacity) | (ri_col < ci_row)
+        once = (col_k >= capacity) | (ri_col < ci_row)
+        excluded = jnp.zeros((capacity, ncand), jnp.bool_)
         for e in range(emax):
-            mask &= ci_row != re_ref[g, :, e].reshape(capacity, 1)
+            excluded |= ci_row == re_ref[g, :, e].reshape(capacity, 1)
+        mask = real & once & ~excluded & (r2 < cutoff2)
 
         one = jnp.ones((), dtype)
         r2s = jnp.where(mask, r2, one)
@@ -197,9 +199,69 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                          oh_j.T, preferred_element_type=dtype)
         zero = jnp.zeros((), dtype)
         factor = jnp.where(mask, lam_vp * dedr_vdw + lam_cp * dedr_coul, zero)
-        fx = factor * dx
-        fy = factor * dy
-        fz = factor * dz
+        e_coul = jnp.where(mask, e_coul, zero)
+        e_vdw = jnp.where(mask, e_vdw, zero)
+
+        fxe = zero
+        fye = zero
+        fze = zero
+        if mode == EWALD_DIRECT:
+            # Ewald exclusion corrections fused into the tile: excluded pairs
+            # subtract the reciprocal-space erf part (+ LJPME back-out),
+            # replacing a separate pass with per-pair scatters
+            # (ReferenceSlicedLJCoulombIxn.cpp:449-506).  Bonded exclusions
+            # always lie within the 27-cell neighborhood.
+            xmask = real & once & excluded
+            if exceptions_periodic:
+                dxu, dyu, dzu = dx, dy, dz
+            else:
+                dxu, dyu, dzu = dx0, dy0, dz0
+            r2x0 = dxu * dxu + dyu * dyu + dzu * dzu
+            r2x = jnp.where(xmask, r2x0, one)
+            rinvx = jax.lax.rsqrt(r2x)
+            rx = r2x * rinvx
+            arx = ewald_alpha * rx
+            erf_ar = 1.0 - _erfc_hastings(arx)
+            big = erf_ar > 1e-6
+            e_cx = jnp.where(
+                big, -ONE_4PI_EPS0 * qq * rinvx * erf_ar,
+                -ewald_alpha * (2.0 / SQRT_PI) * ONE_4PI_EPS0 * qq)
+            dedr_x = jnp.where(
+                big,
+                ONE_4PI_EPS0 * qq * rinvx ** 3
+                * (erf_ar - 2.0 * arx * jnp.exp(-arx * arx) / SQRT_PI),
+                zero)
+            factor_x = jnp.where(xmask, -lam_cp * dedr_x, zero)
+            e_coul = e_coul + jnp.where(xmask, e_cx, zero)
+            if ljpme:
+                darx = dispersion_alpha * rx
+                darx2 = darx * darx
+                darx4 = darx2 * darx2
+                darx6 = darx4 * darx2
+                rinvx2 = rinvx * rinvx
+                rinvx6 = rinvx2 * rinvx2 * rinvx2
+                c6i_x = 8.0 * rf[:, 4:5] ** 3 * rf[:, 5:6]
+                c6j_x = (8.0 * cf[:, 4] ** 3 * cf[:, 5]).reshape(1, ncand)
+                c6ij_x = c6i_x * c6j_x
+                expdx = jnp.exp(-darx2)
+                e_vx = jnp.where(big, c6ij_x * rinvx6
+                                 * (1.0 - expdx * (1.0 + darx2 + 0.5 * darx4)),
+                                 zero)
+                dedr_vx = jnp.where(
+                    big,
+                    -6.0 * c6ij_x * rinvx6 * rinvx2
+                    * (1.0 - expdx * (1.0 + darx2 + 0.5 * darx4
+                                      + darx6 / 6.0)),
+                    zero)
+                factor_x = factor_x + jnp.where(xmask, -lam_vp * dedr_vx, zero)
+                e_vdw = e_vdw + jnp.where(xmask, e_vx, zero)
+            fxe = factor_x * dxu
+            fye = factor_x * dyu
+            fze = factor_x * dzu
+
+        fx = factor * dx + fxe
+        fy = factor * dy + fye
+        fz = factor * dz + fze
         fout_ref[g] = jnp.stack(
             [jnp.sum(fx, axis=1), jnp.sum(fy, axis=1), jnp.sum(fz, axis=1)],
             axis=-1)
@@ -208,8 +270,6 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             [jnp.sum(fx, axis=0), jnp.sum(fy, axis=0), jnp.sum(fz, axis=0)],
             axis=-1)
 
-        e_coul = jnp.where(mask, e_coul, zero)
-        e_vdw = jnp.where(mask, e_vdw, zero)
         mc = jnp.dot(oh_i.T, jnp.dot(e_coul, oh_j,
                                      preferred_element_type=dtype),
                      preferred_element_type=dtype)
@@ -300,9 +360,14 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
                              crf=0.0, use_switch=False, switch_distance=0.0,
                              ewald_alpha=0.0, ljpme=False,
                              dispersion_alpha=0.0, num_slices=1,
-                             interpret=False):
+                             interpret=False, exceptions_periodic=False,
+                             exclusion_pairs=None):
     """Drop-in replacement for neighbors.make_cell_direct_space using the
-    fused half-shell Pallas kernel (f32 fast path; f64 falls back to XLA)."""
+    fused half-shell Pallas kernel (f32 fast path; f64 falls back to XLA).
+
+    Unlike the XLA engine, this one also computes the Ewald-family exclusion
+    corrections (fused into the tiles); callers must skip their separate
+    correction pass (``handles_exclusions`` attribute)."""
     base = neighbors.make_cell_direct_space(
         mode=mode, cutoff=cutoff, counts=counts, capacity=capacity, krf=krf,
         crf=crf, use_switch=use_switch, switch_distance=switch_distance,
@@ -311,13 +376,34 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
     ncx, ncy, ncz = counts
     n_cells = ncx * ncy * ncz
     kern_cache = {}
+    if exclusion_pairs is None:
+        exclusion_pairs = np.zeros((0, 2), dtype=np.int32)
+    exclusion_pairs = jnp.asarray(exclusion_pairs)
+
+    def _base_with_corrections(positions, box, charge, sig_half, eps2,
+                               subsets, exclusion_list, slice_table, lam_coul,
+                               lam_vdw):
+        e, f = base(positions, box, charge, sig_half, eps2, subsets,
+                    exclusion_list, slice_table, lam_coul, lam_vdw)
+        if mode == EWALD_DIRECT:
+            from . import bonded
+            e_x, f_x = bonded.exclusion_corrections(
+                positions, box, exclusion_pairs, charge, sig_half, eps2,
+                subsets, slice_table, lam_coul, lam_vdw, alpha=ewald_alpha,
+                periodic_exceptions=exceptions_periodic, ljpme=ljpme,
+                dispersion_alpha=dispersion_alpha, num_slices=num_slices,
+                num_particles=positions.shape[0])
+            e = e + e_x
+            f = f + f_x
+        return e, f
 
     def direct_space(positions, box, charge, sig_half, eps2, subsets,
                      exclusion_list, slice_table, lam_coul, lam_vdw):
         if positions.dtype != jnp.float32:
             # f64 oracle path stays on the XLA engine (Pallas TPU is f32)
-            return base(positions, box, charge, sig_half, eps2, subsets,
-                        exclusion_list, slice_table, lam_coul, lam_vdw)
+            return _base_with_corrections(
+                positions, box, charge, sig_half, eps2, subsets,
+                exclusion_list, slice_table, lam_coul, lam_vdw)
         n = positions.shape[0]
         dtype = positions.dtype
         emax = exclusion_list.shape[1]
@@ -361,7 +447,7 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
                 nsub=nsub, emax=emax, krf=krf, crf=crf, use_switch=use_switch,
                 switch_distance=switch_distance, ewald_alpha=ewald_alpha,
                 ljpme=ljpme, dispersion_alpha=dispersion_alpha,
-                interpret=interpret)
+                interpret=interpret, exceptions_periodic=exceptions_periodic)
         (row_f, col_f, m_c, m_v), _ = kern_cache[key](
             sfeat.reshape(n_cells, capacity, nf), table, sexcl,
             cand_feat, cand_idx, lam_c_nn, lam_v_nn, box, n)
@@ -387,4 +473,5 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
             slot_f.reshape(-1, 3))
         return slice_energies, forces[:n]
 
+    direct_space.handles_exclusions = mode == EWALD_DIRECT
     return direct_space

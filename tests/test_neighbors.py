@@ -33,13 +33,16 @@ def _random_system(method, n=480, nsub=3, seed=7, box_size=4.0, switching=False)
         q = 0.2 if i % 2 == 0 else -0.2
         force.addParticle(q, 0.2 + 0.1 * rng.random(), 0.5 * rng.random())
         force.setParticleSubset(i, i % nsub)
-    # some exclusions / 1-4s among consecutive atoms
+    # some exclusions / 1-4s among consecutive atoms; exception partners are
+    # placed bonded-distance apart (as in any molecular system — the fused
+    # exclusion-correction path requires excluded pairs within a cell width)
+    positions = rng.random((n, 3)) * box_size
     for i in range(0, n - 1, 7):
         force.addException(i, i + 1, 0.01, 0.25, 0.1)
+        positions[i + 1] = positions[i] + rng.normal(scale=0.05, size=3)
     force.addGlobalParameter("lam", 0.7)
     force.addScalingParameter("lam", 0, 1, True, True)
     system.addForce(force)
-    positions = rng.random((n, 3)) * box_size
     return force, system, positions, np.diag([box_size] * 3)
 
 
