@@ -60,7 +60,7 @@ _CELL_LIST_MIN_PARTICLES = 1024
 
 def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                  block_size=None, neighbor="auto", cell_capacity=None,
-                 hoist_eterm=False):
+                 hoist_eterm=False, shard=None):
     method = plan.method
     is_ewald_family = method in EWALD_METHODS
     n = plan.num_particles
@@ -99,9 +99,13 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
             switch_distance=plan.switch_distance, ewald_alpha=plan.ewald_alpha,
             ljpme=(method == NonbondedForce.LJPME),
             dispersion_alpha=plan.dispersion_alpha, num_slices=nslices)
-        use_pallas = (neighbor == "pallas"
-                      or (neighbor == "auto"
-                          and jax.default_backend() == "tpu"))
+        if shard is not None:
+            mesh, axis = shard
+            cell_kw.update(mesh=mesh, shard_axis=axis)
+        use_pallas = (shard is None
+                      and (neighbor == "pallas"
+                           or (neighbor == "auto"
+                               and jax.default_backend() == "tpu")))
         if use_pallas:
             from . import pallas_direct
             direct_fn = pallas_direct.make_pallas_direct_space(

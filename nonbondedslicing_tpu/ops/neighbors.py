@@ -106,12 +106,19 @@ def _neighbor_offsets():
 def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
                            use_switch=False, switch_distance=0.0,
                            ewald_alpha=0.0, ljpme=False, dispersion_alpha=0.0,
-                           num_slices=1, cells_per_chunk=None):
+                           num_slices=1, cells_per_chunk=None, mesh=None,
+                           shard_axis=None):
     """Cell-list variant of ``make_direct_space`` (periodic methods only).
 
     Same signature as the all-pairs engine:
     f(positions, box, charge, sig_half, eps2, subsets, exclusion_list,
       slice_table, lam_coul, lam_vdw) -> (slice_energies (S, 2), forces (N, 3))
+
+    With ``mesh``/``shard_axis`` set, the pair stage is sharded over cells
+    via ``shard_map`` (tile prep replicated; slice energies psum-reduced over
+    ICI, forces assembled from each device's cell shard) — the TPU-native
+    replacement for the reference's per-GPU context splitting
+    (CudaParallelNonbondedSlicingKernels.cpp:19-66).
     """
     assert mode != PLAIN
     pair_terms = make_pair_terms(
@@ -123,7 +130,9 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
     ncand = 27 * capacity
     if cells_per_chunk is None:
         cells_per_chunk = max(1, 512 // capacity)
-    n_chunks = (n_cells + cells_per_chunk - 1) // cells_per_chunk
+    n_dev = 1 if mesh is None else mesh.shape[shard_axis]
+    quantum = cells_per_chunk * n_dev
+    n_chunks = (n_cells + quantum - 1) // quantum * n_dev
     n_cells_pad = n_chunks * cells_per_chunk
     offsets = _neighbor_offsets()
 
@@ -239,15 +248,31 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
             ev = _moments(e_vdw, oh_i, oh_j, spairs)
             return jnp.stack([ec, ev], axis=-1), f_rows.reshape(-1, 3)
 
-        starts = jnp.arange(0, n_cells_pad, g)
-        slice_parts, f_parts = jax.lax.map(chunk_fn, starts)
-        slice_energies = jnp.sum(slice_parts, axis=0)
+        if mesh is None:
+            starts = jnp.arange(0, n_cells_pad, g)
+            slice_parts, f_parts = jax.lax.map(chunk_fn, starts)
+            slice_energies = jnp.sum(slice_parts, axis=0)
+            f_rows_all = f_parts.reshape(-1, 3)
+        else:
+            from jax.sharding import PartitionSpec as P
+            cells_per_dev = n_cells_pad // mesh.shape[shard_axis]
+
+            def device_fn():
+                dev = jax.lax.axis_index(shard_axis)
+                starts = dev * cells_per_dev + jnp.arange(0, cells_per_dev, g)
+                slice_parts, f_parts = jax.lax.map(chunk_fn, starts)
+                slice_e = jax.lax.psum(jnp.sum(slice_parts, axis=0),
+                                       shard_axis)
+                return slice_e, f_parts.reshape(cells_per_dev * capacity, 3)
+
+            slice_energies, f_rows_all = jax.shard_map(
+                device_fn, mesh=mesh, in_specs=(),
+                out_specs=(P(), P(shard_axis)), check_vma=False)()
         # unsort: slot forces -> atoms (the only scatter; slot indices are
         # unique per real atom)
         slots_pad = jnp.pad(slots.reshape(n_cells, capacity),
                             ((0, pc), (0, 0)), constant_values=n).reshape(-1)
-        forces = jnp.zeros((n + 1, 3), dtype).at[slots_pad].add(
-            f_parts.reshape(-1, 3))
+        forces = jnp.zeros((n + 1, 3), dtype).at[slots_pad].add(f_rows_all)
         return slice_energies, forces[:n]
 
     direct_space.prepare_tiles = prepare_tiles

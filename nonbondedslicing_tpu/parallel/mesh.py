@@ -51,6 +51,15 @@ def make_sharded_compute(plan: Plan, mesh: Mesh, axis: str = "atoms",
     method = plan.method
     periodic = method in (NonbondedForce.CutoffPeriodic,) + tuple(EWALD_METHODS)
 
+    # periodic cutoff systems: shard the cell-list engine over cells (tile
+    # prep replicated, pair tiles split across devices, psum over ICI)
+    if periodic and method != NonbondedForce.NoCutoff:
+        from ..ops import neighbors
+        cell_cfg = neighbors.choose_cell_grid(plan.box0, plan.cutoff, n)
+        if cell_cfg is not None:
+            return engine.make_compute(plan, True, True, neighbor="cell",
+                                       shard=(mesh, axis))
+
     if method == NonbondedForce.NoCutoff:
         mode = direct.PLAIN
     elif method in (NonbondedForce.CutoffNonPeriodic, NonbondedForce.CutoffPeriodic):
