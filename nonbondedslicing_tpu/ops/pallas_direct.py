@@ -92,15 +92,18 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                   lamc_ref, lamv_ref, fout_ref, cout_ref, g):
         dtype = rf_ref.dtype
         n = nreal_ref[0]
-        rf = rf_ref[g]            # (C, F)
-        cf = cf_ref[g]            # (14C, F)
+        # feature-major layout (F, C)/(F, 14C): keeps the long atom axis in
+        # the 128-lane dimension (atoms-major would pad F~10 lanes to 128 —
+        # a 13x HBM blowup)
+        rf = rf_ref[g]            # (F, C)
+        cf = cf_ref[g]            # (F, 14C)
         ri = ri_ref[g, 0]         # (C,)
         ci = ci_ref[g, 0]         # (14C,)
 
         # ---- minimum image over the reduced triclinic box (c, b, a order)
-        dx0 = rf[:, 0:1] - cf[:, 0].reshape(1, ncand)
-        dy0 = rf[:, 1:2] - cf[:, 1].reshape(1, ncand)
-        dz0 = rf[:, 2:3] - cf[:, 2].reshape(1, ncand)
+        dx0 = rf[0].reshape(capacity, 1) - cf[0].reshape(1, ncand)
+        dy0 = rf[1].reshape(capacity, 1) - cf[1].reshape(1, ncand)
+        dz0 = rf[2].reshape(capacity, 1) - cf[2].reshape(1, ncand)
         dx, dy, dz = dx0, dy0, dz0
         bzz = box_ref[2, 2]
         nz = jnp.floor(dz / bzz + 0.5)
@@ -124,7 +127,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         once = (col_k >= capacity) | (ri_col < ci_row)
         excluded = jnp.zeros((capacity, ncand), jnp.bool_)
         for e in range(emax):
-            excluded |= ci_row == re_ref[g, :, e].reshape(capacity, 1)
+            excluded |= ci_row == re_ref[g, e].reshape(capacity, 1)
         mask = real & once & ~excluded & (r2 < cutoff2)
 
         one = jnp.ones((), dtype)
@@ -132,9 +135,9 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         rinv = jax.lax.rsqrt(r2s)
         r = r2s * rinv
 
-        qq = rf[:, 3:4] * cf[:, 3].reshape(1, ncand)
-        sig = rf[:, 4:5] + cf[:, 4].reshape(1, ncand)
-        eps = rf[:, 5:6] * cf[:, 5].reshape(1, ncand)
+        qq = rf[3].reshape(capacity, 1) * cf[3].reshape(1, ncand)
+        sig = rf[4].reshape(capacity, 1) + cf[4].reshape(1, ncand)
+        eps = rf[5].reshape(capacity, 1) * cf[5].reshape(1, ncand)
         sig2 = (sig * rinv) ** 2
         sig6 = sig2 * sig2 * sig2
 
@@ -167,8 +170,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                 dar6 = dar4 * dar2
                 rinv2 = rinv * rinv
                 rinv6 = rinv2 * rinv2 * rinv2
-                c6i = 8.0 * rf[:, 4:5] ** 3 * rf[:, 5:6]
-                c6j = (8.0 * cf[:, 4] ** 3 * cf[:, 5]).reshape(1, ncand)
+                c6i = (8.0 * rf[4] ** 3 * rf[5]).reshape(capacity, 1)
+                c6j = (8.0 * cf[4] ** 3 * cf[5]).reshape(1, ncand)
                 c6ij = c6i * c6j
                 expd = jnp.exp(-dar2)
                 emult = c6ij * rinv6 * (1.0 - expd * (1.0 + dar2 + 0.5 * dar4))
@@ -189,14 +192,14 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             dedr_vdw = dedr_vdw - e_vdw * sw_der * rinv
             e_vdw = e_vdw * sw_val
 
-        oh_i = rf[:, 6:6 + nsub]                       # (C, nsub)
-        oh_j = cf[:, 6:6 + nsub]                       # (14C, nsub)
-        lam_cp = jnp.dot(jnp.dot(oh_i, lamc_ref[...],
+        oh_i = rf[6:6 + nsub]                          # (nsub, C)
+        oh_j = cf[6:6 + nsub]                          # (nsub, 14C)
+        lam_cp = jnp.dot(jnp.dot(oh_i.T, lamc_ref[...],
                                  preferred_element_type=dtype),
-                         oh_j.T, preferred_element_type=dtype)
-        lam_vp = jnp.dot(jnp.dot(oh_i, lamv_ref[...],
+                         oh_j, preferred_element_type=dtype)
+        lam_vp = jnp.dot(jnp.dot(oh_i.T, lamv_ref[...],
                                  preferred_element_type=dtype),
-                         oh_j.T, preferred_element_type=dtype)
+                         oh_j, preferred_element_type=dtype)
         zero = jnp.zeros((), dtype)
         factor = jnp.where(mask, lam_vp * dedr_vdw + lam_cp * dedr_coul, zero)
         e_coul = jnp.where(mask, e_coul, zero)
@@ -240,8 +243,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                 darx6 = darx4 * darx2
                 rinvx2 = rinvx * rinvx
                 rinvx6 = rinvx2 * rinvx2 * rinvx2
-                c6i_x = 8.0 * rf[:, 4:5] ** 3 * rf[:, 5:6]
-                c6j_x = (8.0 * cf[:, 4] ** 3 * cf[:, 5]).reshape(1, ncand)
+                c6i_x = (8.0 * rf[4] ** 3 * rf[5]).reshape(capacity, 1)
+                c6j_x = (8.0 * cf[4] ** 3 * cf[5]).reshape(1, ncand)
                 c6ij_x = c6i_x * c6j_x
                 expdx = jnp.exp(-darx2)
                 e_vx = jnp.where(big, c6ij_x * rinvx6
@@ -264,17 +267,17 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         fz = factor * dz + fze
         fout_ref[g] = jnp.stack(
             [jnp.sum(fx, axis=1), jnp.sum(fy, axis=1), jnp.sum(fz, axis=1)],
-            axis=-1)
+            axis=0)                                    # (3, C)
         # Newton's third law: column atoms get the negated sum over rows
         cout_ref[g] = -jnp.stack(
             [jnp.sum(fx, axis=0), jnp.sum(fy, axis=0), jnp.sum(fz, axis=0)],
-            axis=-1)
+            axis=0)                                    # (3, 14C)
 
-        mc = jnp.dot(oh_i.T, jnp.dot(e_coul, oh_j,
-                                     preferred_element_type=dtype),
+        mc = jnp.dot(oh_i, jnp.dot(e_coul, oh_j.T,
+                                   preferred_element_type=dtype),
                      preferred_element_type=dtype)
-        mv = jnp.dot(oh_i.T, jnp.dot(e_vdw, oh_j,
-                                     preferred_element_type=dtype),
+        mv = jnp.dot(oh_i, jnp.dot(e_vdw, oh_j.T,
+                                   preferred_element_type=dtype),
                      preferred_element_type=dtype)
         return mc, mv
 
@@ -287,13 +290,13 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # box (3,3)
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # n_real (1,)
-                pl.BlockSpec((G, capacity, nf), lambda i: (i, 0, 0),
+                pl.BlockSpec((G, nf, capacity), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((G, 1, capacity), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((G, capacity, emax), lambda i: (i, 0, 0),
+                pl.BlockSpec((G, emax, capacity), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((G, ncand, nf), lambda i: (i, 0, 0),
+                pl.BlockSpec((G, nf, ncand), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((G, 1, ncand), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -301,9 +304,9 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # lam_v
             ],
             out_specs=[
-                pl.BlockSpec((G, capacity, 3), lambda i: (i, 0, 0),
+                pl.BlockSpec((G, 3, capacity), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((G, ncand, 3), lambda i: (i, 0, 0),
+                pl.BlockSpec((G, 3, ncand), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nsub, nsub), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -311,8 +314,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((ncp, capacity, 3), dtype),
-                jax.ShapeDtypeStruct((ncp, ncand, 3), dtype),
+                jax.ShapeDtypeStruct((ncp, 3, capacity), dtype),
+                jax.ShapeDtypeStruct((ncp, 3, ncand), dtype),
                 jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
                 jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
             ],
@@ -326,7 +329,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
     def run(rows_feat, rows_idx, rows_excl, cand_feat, cand_idx, lam_c_nn,
             lam_v_nn, box, n_real):
         ncp = rows_feat.shape[0]
-        nf = rows_feat.shape[2]
+        nf = rows_feat.shape[1]
         dtype = rows_feat.dtype
         # pad the cell dimension to a tile multiple (padded cells hold only
         # the dummy index n_real and are fully masked)
@@ -413,7 +416,9 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
         lam_v_nn = lam_vdw[sl_tab]
         spairs = np.asarray(slice_subsets(nsub))
 
-        # ---- slot-sort features (single gather), half-shell candidates
+        # ---- slot-sort features (single gather), half-shell candidates;
+        # feature-major (cells, F, C) so the long atom axis rides the 128-lane
+        # dimension (atoms-major would pad F~10 lanes to 128: 13x HBM blowup)
         cell = neighbors.cell_ids(positions, box, counts)
         table, _ = neighbors.build_occupancy(cell, n, counts, capacity)
         slots = table.reshape(-1)
@@ -423,18 +428,20 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
                                 eps2[:, None], oh], axis=1)
         nf = feat.shape[1]
         feat_p = jnp.concatenate([feat, jnp.zeros((1, nf), dtype)], axis=0)
-        sfeat = feat_p[slots]
+        sfeat_t = jnp.swapaxes(
+            feat_p[slots].reshape(n_cells, capacity, nf), 1, 2)
         excl_p = jnp.concatenate(
             [exclusion_list,
              jnp.full((1, emax), -1, exclusion_list.dtype)], axis=0)
-        sexcl = excl_p[slots].reshape(n_cells, capacity, emax)
+        sexcl_t = jnp.swapaxes(
+            excl_p[slots].reshape(n_cells, capacity, emax), 1, 2)
 
-        grid_feat = sfeat.reshape(ncx, ncy, ncz, capacity, nf)
+        grid_feat = sfeat_t.reshape(ncx, ncy, ncz, nf, capacity)
         grid_idx = slots.reshape(ncx, ncy, ncz, capacity)
         cand_feat = jnp.concatenate(
             [jnp.roll(grid_feat, (-dx, -dy, -dz), axis=(0, 1, 2))
-             .reshape(n_cells, capacity, nf) for (dx, dy, dz) in HALF_OFFSETS],
-            axis=1)                                     # (cells, 14C, F)
+             .reshape(n_cells, nf, capacity) for (dx, dy, dz) in HALF_OFFSETS],
+            axis=2)                                     # (cells, F, 14C)
         cand_idx = jnp.concatenate(
             [jnp.roll(grid_idx, (-dx, -dy, -dz), axis=(0, 1, 2))
              .reshape(n_cells, capacity) for (dx, dy, dz) in HALF_OFFSETS],
@@ -449,8 +456,8 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
                 ljpme=ljpme, dispersion_alpha=dispersion_alpha,
                 interpret=interpret, exceptions_periodic=exceptions_periodic)
         (row_f, col_f, m_c, m_v), _ = kern_cache[key](
-            sfeat.reshape(n_cells, capacity, nf), table, sexcl,
-            cand_feat, cand_idx, lam_c_nn, lam_v_nn, box, n)
+            sfeat_t, table, sexcl_t, cand_feat, cand_idx, lam_c_nn, lam_v_nn,
+            box, n)
         row_f = row_f[:n_cells]
         col_f = col_f[:n_cells]
 
@@ -464,11 +471,12 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
         slice_energies = jnp.stack([ec, ev], axis=-1)
 
         # roll per-offset column forces back onto their home cells
-        slot_f = row_f.reshape(ncx, ncy, ncz, capacity, 3)
-        col_f = col_f.reshape(ncx, ncy, ncz, 14, capacity, 3)
+        slot_f = row_f.reshape(ncx, ncy, ncz, 3, capacity)
+        col_f = col_f.reshape(ncx, ncy, ncz, 3, 14, capacity)
         for k, (dx, dy, dz) in enumerate(HALF_OFFSETS):
-            slot_f = slot_f + jnp.roll(col_f[:, :, :, k], (dx, dy, dz),
+            slot_f = slot_f + jnp.roll(col_f[:, :, :, :, k], (dx, dy, dz),
                                        axis=(0, 1, 2))
+        slot_f = jnp.swapaxes(slot_f.reshape(n_cells, 3, capacity), 1, 2)
         forces = jnp.zeros((n + 1, 3), dtype).at[slots].add(
             slot_f.reshape(-1, 3))
         return slice_energies, forces[:n]
