@@ -158,17 +158,21 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
 
         if is_ewald_family and include_reciprocal:
             alpha = plan.ewald_alpha
-            # ---- self energy (ReferenceSlicedLJCoulombIxn.cpp:203-213)
-            diag_slices = subsets * (subsets + 3) // 2
+            onehot = (subsets[:, None] == jnp.arange(nsub)[None, :]).astype(dtype)
+            diag_ids = np.array([s * (s + 3) // 2 for s in range(nsub)])
+            # ---- self energy (ReferenceSlicedLJCoulombIxn.cpp:203-213);
+            # per-subset reduction via the one-hot matmul (a 23k-element
+            # scatter per step is near-serial on TPU)
             self_coul = -ONE_4PI_EPS0 * charge * charge * alpha / SQRT_PI
-            slice_energies = slice_energies.at[diag_slices, COUL].add(self_coul)
+            slice_energies = slice_energies.at[diag_ids, COUL].add(
+                self_coul @ onehot)
             if method == NonbondedForce.LJPME:
                 self_vdw = (plan.dispersion_alpha ** 6 * 64.0
                             * sig_half ** 6 * eps2 ** 2 / 12.0)
-                slice_energies = slice_energies.at[diag_slices, VDW].add(self_vdw)
+                slice_energies = slice_energies.at[diag_ids, VDW].add(
+                    self_vdw @ onehot)
             # ---- neutralizing plasma (cpp:214-221)
             volume = box_volume(box)
-            onehot = (subsets[:, None] == jnp.arange(nsub)[None, :]).astype(dtype)
             q_sub = charge @ onehot  # (nsub,)
             factor = (-1.0 / (4.0 * alpha * alpha)) / (2.0 * EPSILON0 * volume)
             qi = q_sub[slice_pairs[:, 0]]

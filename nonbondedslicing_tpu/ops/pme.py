@@ -331,16 +331,20 @@ def interpolate_forces_dense(phi, charges, subsets, index, theta, dtheta,
             idx, th, dth, grid_shape, order)
         sx = jnp.einsum("bs,bx->bsx", soh, tx).reshape(b, nsub * nx)
         sdx = jnp.einsum("bs,bx->bsx", soh, dtx).reshape(b, nsub * nx)
-        # A*[b, y, z]: potential with x contracted by theta / dtheta; one
-        # stacked matmul at HIGH precision (see spread_charges_dense)
-        both = jnp.dot(jnp.concatenate([sx, sdx], axis=0), phi_mat,
-                       preferred_element_type=dtype,
-                       precision=jax.lax.Precision.HIGH)
-        a_t = both[:b].reshape(b, ny, nz)
-        a_d = both[b:].reshape(b, ny, nz)
-        fx = jnp.einsum("byz,by,bz->b", a_d, ty, tz)
-        fy = jnp.einsum("byz,by,bz->b", a_t, dty, tz)
-        fz = jnp.einsum("byz,by,bz->b", a_t, ty, dtz)
+        # transpose factorization: P = phi @ plane^T keeps the large matmul
+        # output at (s*nx, 3B) instead of materializing (B, ny*nz) potential
+        # slabs that round-trip HBM (that layout cost ~2x the whole PME)
+        planes = jnp.concatenate([
+            jnp.einsum("by,bz->byz", ty, tz).reshape(b, ny * nz),
+            jnp.einsum("by,bz->byz", dty, tz).reshape(b, ny * nz),
+            jnp.einsum("by,bz->byz", ty, dtz).reshape(b, ny * nz),
+        ], axis=0)
+        p_all = jnp.dot(phi_mat, planes.T, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGH)  # (s*nx, 3B)
+        p_t, p_dy, p_dz = p_all[:, :b], p_all[:, b:2 * b], p_all[:, 2 * b:]
+        fx = jnp.einsum("bs,sb->b", sdx, p_t)
+        fy = jnp.einsum("bs,sb->b", sx, p_dy)
+        fz = jnp.einsum("bs,sb->b", sx, p_dz)
         return jnp.stack([fx, fy, fz], axis=-1)
 
     starts = jnp.arange(0, n_pad, b)
