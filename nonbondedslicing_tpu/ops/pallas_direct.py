@@ -59,7 +59,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                             krf=0.0, crf=0.0, use_switch=False,
                             switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
                             dispersion_alpha=0.0, interpret=False,
-                            cells_per_tile=1, exceptions_periodic=False):
+                            cells_per_tile=None, exceptions_periodic=False):
     """Build the half-shell tile kernel.
 
     f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
@@ -73,6 +73,9 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
     assert mode in (CUTOFF, EWALD_DIRECT)
     ncand = 14 * capacity
     cutoff2 = cutoff * cutoff
+    if cells_per_tile is None:
+        import os
+        cells_per_tile = int(os.environ.get("NBS_PALLAS_TILE", "4"))
     G = cells_per_tile
 
     def kernel(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
