@@ -1,0 +1,340 @@
+"""Fused TPU production engine: one slot table feeding direct + reciprocal.
+
+The round-1 engine rebuilt the cell list, re-gathered every per-atom feature,
+and re-rolled the 14 half-shell candidate tensors on every MD step, and ran
+PME spread/interp as full-axis dense matmuls.  This module is the restructured
+hot path:
+
+* ``prepare`` builds the slot table (cell sort) and everything that depends
+  only on the *assignment* of atoms to cells: static per-atom features
+  (charge, sigma/2, 2*sqrt(eps), subset one-hots) gathered to slot order, the
+  14 rolled candidate copies of those features, exclusion tables, and the
+  rebuild positions.  Analog of the reference's persistent neighbor-tile
+  structure (OpenMM NonbondedUtilities tiles consumed at
+  CommonNonbondedSlicingKernels.cpp:721) — except the reference rebuilds each
+  step while MD callers here reuse it for K steps under a skin guard.
+* ``apply`` does the per-step work: one gather of positions into slot order,
+  14 position rolls, the fused half-shell Pallas pair kernel (with Ewald
+  exclusion corrections fused in), brick-decomposed sliced PME
+  (ops/pme_bricks.py) reusing the same slot ordering, self/plasma energies,
+  1-4 exceptions, and a single slot->atom force unsort.  It also returns an
+  ``aux`` dict: the cell-capacity overflow count (never silently drop atoms —
+  the reference's voxel hash is exact,
+  ReferenceNonbondedSlicingKernels.cpp:197) and the squared max displacement
+  since ``prepare`` (callers must rebuild / fail when it exceeds the skin).
+
+Validity conditions (enforced by callers via aux + static checks):
+* aux["overflow"] == 0
+* aux["maxdisp2"] <= (skin/2)^2 where skin = min cell width - cutoff
+  capped by one PME grid spacing (window drift margin)
+* runtime box == plan.box0 when the convolution kernels are hoisted
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.force import NonbondedForce
+from ..utils.constants import COUL, EPSILON0, ONE_4PI_EPS0, SQRT_PI, VDW
+from ..utils.indexing import slice_subsets
+from . import bonded, direct, neighbors, params, pme, pme_bricks
+from .geometry import box_volume, recip_box_vectors
+from .pallas_direct import HALF_OFFSETS, make_pallas_cell_kernel
+
+
+def _brick_counts(counts):
+    """PME supercell-brick counts per axis: group neighbor cells into bricks
+    so the per-brick spread/interp matmuls are MXU-sized (a few big batched
+    matmuls instead of one tiny matmul per cell — TPU batched matmuls with
+    ~60-element contractions are latency-bound per batch element)."""
+    out = []
+    for nc in counts:
+        divs = [d for d in range(1, nc + 1) if nc % d == 0]
+        out.append(min(divs, key=lambda d: (abs(d - 4), -d)))
+    return tuple(out)
+
+
+def fused_config(plan, cell_capacity=None):
+    """Static sizing for the fused engine, or None when not applicable
+    (non-periodic / too coarse a box for a cell list)."""
+    if plan.box0 is None or plan.method in (NonbondedForce.NoCutoff,
+                                            NonbondedForce.CutoffNonPeriodic):
+        return None
+    cfg = neighbors.choose_cell_grid(plan.box0, plan.cutoff,
+                                     plan.num_particles)
+    if cfg is None:
+        return None
+    counts, capacity = cfg
+    if cell_capacity is not None:
+        capacity = int(cell_capacity)
+    widths = neighbors._perpendicular_widths(plan.box0) / np.asarray(counts)
+    skin = float(np.min(widths)) - plan.cutoff
+    bricks = _brick_counts(counts)
+    out = dict(counts=counts, capacity=capacity, skin=skin, bricks=bricks)
+    if plan.method in (NonbondedForce.PME, NonbondedForce.LJPME):
+        grid = pme_bricks.aligned_grid(plan.pme_grid, bricks)
+        out["pme_grid"] = grid
+        out["pme_moduli"] = pme.bspline_moduli(grid, order=plan.pme_order)
+        box_diag = np.diag(np.asarray(plan.box0, dtype=np.float64))
+        spacing = float(np.min(box_diag / np.asarray(grid)))
+        out["skin"] = min(out["skin"], 2.0 * spacing)  # +-1 point drift margin
+        if plan.method == NonbondedForce.LJPME:
+            dgrid = pme_bricks.aligned_grid(plan.dispersion_grid, bricks)
+            out["dispersion_grid"] = dgrid
+            out["dpme_moduli"] = pme.bspline_moduli(dgrid, order=plan.pme_order)
+            dspacing = float(np.min(box_diag / np.asarray(dgrid)))
+            out["skin"] = min(out["skin"], 2.0 * dspacing)
+    return out
+
+
+def _cells_to_bricks(x, counts, bricks):
+    """(g_cells, F, C) cell-major slot tensor -> (g_bricks, F, C*f^3)
+    brick-major, where f = counts/bricks per axis."""
+    ncx, ncy, ncz = counts
+    bx, by, bz = bricks
+    fx, fy, fz = ncx // bx, ncy // by, ncz // bz
+    g, F, C = x.shape
+    t = x.reshape(bx, fx, by, fy, bz, fz, F, C)
+    t = t.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return t.reshape(bx * by * bz, F, fx * fy * fz * C)
+
+
+def _bricks_to_cells(x, counts, bricks):
+    """Inverse of _cells_to_bricks for (g_bricks, C*f^3, F) force tensors."""
+    ncx, ncy, ncz = counts
+    bx, by, bz = bricks
+    fx, fy, fz = ncx // bx, ncy // by, ncz // bz
+    gb, CF, F = x.shape
+    C = CF // (fx * fy * fz)
+    t = x.reshape(bx, by, bz, fx, fy, fz, C, F)
+    t = t.transpose(0, 3, 1, 4, 2, 5, 6, 7)
+    return t.reshape(ncx * ncy * ncz, C, F)
+
+
+def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
+                      interpret=False):
+    """Build (prepare, apply, config) for the fused TPU engine.
+
+    prepare(positions, box, gvals, data) -> state
+    apply(positions, box, gvals, data, state)
+        -> (slice_energies (S, 2), forces (N, 3), aux)
+    """
+    cfg = fused_config(plan, cell_capacity)
+    if cfg is None:
+        return None
+    method = plan.method
+    is_ewald_family = method in (NonbondedForce.Ewald, NonbondedForce.PME,
+                                 NonbondedForce.LJPME)
+    is_pme = method in (NonbondedForce.PME, NonbondedForce.LJPME)
+    counts = cfg["counts"]
+    capacity = cfg["capacity"]
+    ncx, ncy, ncz = counts
+    n_cells = ncx * ncy * ncz
+    n = plan.num_particles
+    nsub = plan.num_subsets
+    nslices = plan.num_slices
+    slice_pairs_np = np.asarray(slice_subsets(nsub))
+    slice_pairs = jnp.asarray(slice_pairs_np)
+    slice_table = plan.slice_table
+    emax = plan.exclusion_list.shape[1]
+
+    eps_rf = plan.rf_dielectric
+    krf = plan.cutoff ** -3 * (eps_rf - 1.0) / (2.0 * eps_rf + 1.0)
+    crf = (1.0 / plan.cutoff) * (3.0 * eps_rf) / (2.0 * eps_rf + 1.0)
+    mode = direct.EWALD_DIRECT if is_ewald_family else direct.CUTOFF
+
+    kernel = make_pallas_cell_kernel(
+        mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
+        nsub=nsub, emax=emax, krf=krf, crf=crf, use_switch=plan.use_switch,
+        switch_distance=plan.switch_distance, ewald_alpha=plan.ewald_alpha,
+        ljpme=(method == NonbondedForce.LJPME),
+        dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
+        exceptions_periodic=plan.exceptions_periodic)
+
+    # box-static convolution kernels for the MD fastpath (valid only while
+    # the runtime box equals plan.box0 — callers must enforce)
+    eterm0 = dterm0 = None
+    if hoist_eterm and is_pme:
+        box0 = jnp.asarray(plan.box0)
+        recip0 = recip_box_vectors(box0)
+        eterm0 = pme.coulomb_eterm(cfg["pme_grid"], cfg["pme_moduli"], box0,
+                                   recip0, plan.ewald_alpha, jnp.float32,
+                                   half=True)
+        if method == NonbondedForce.LJPME:
+            dterm0 = pme.dispersion_eterm(
+                cfg["dispersion_grid"], cfg["dpme_moduli"], box0, recip0,
+                plan.dispersion_alpha, jnp.float32, half=True)
+
+    def prepare(positions, box, gvals, data):
+        """Slot table + assignment-static tensors (rebuild every K steps)."""
+        dtype = positions.dtype
+        subsets = data["subsets"]
+        charge, sig_half, eps2 = params.particle_params(data, gvals)
+        cell = neighbors.cell_ids(positions, box, counts)
+        table, overflow = neighbors.build_occupancy(cell, n, counts, capacity)
+        slots = table.reshape(-1)
+
+        oh = (subsets[:, None]
+              == jnp.arange(nsub, dtype=subsets.dtype)).astype(dtype)
+        feat = jnp.concatenate([charge[:, None], sig_half[:, None],
+                                eps2[:, None], oh], axis=1)   # (N, 3+nsub)
+        nf = feat.shape[1]
+        feat_p = jnp.concatenate([feat, jnp.zeros((1, nf), dtype)], axis=0)
+        sfeat = jnp.swapaxes(feat_p[slots].reshape(n_cells, capacity, nf),
+                             1, 2)                             # (g, Fs, C)
+        excl_p = jnp.concatenate(
+            [data["exclusion_list"],
+             jnp.full((1, emax), -1, data["exclusion_list"].dtype)], axis=0)
+        sexcl = jnp.swapaxes(excl_p[slots].reshape(n_cells, capacity, emax),
+                             1, 2)                             # (g, emax, C)
+        grid_feat = sfeat.reshape(ncx, ncy, ncz, nf, capacity)
+        grid_idx = slots.reshape(ncx, ncy, ncz, capacity)
+        cand_static = jnp.concatenate(
+            [jnp.roll(grid_feat, (-dx, -dy, -dz), axis=(0, 1, 2))
+             .reshape(n_cells, nf, capacity)
+             for (dx, dy, dz) in HALF_OFFSETS], axis=2)        # (g, Fs, 14C)
+        cand_idx = jnp.concatenate(
+            [jnp.roll(grid_idx, (-dx, -dy, -dz), axis=(0, 1, 2))
+             .reshape(n_cells, capacity) for (dx, dy, dz) in HALF_OFFSETS],
+            axis=1)                                            # (g, 14C)
+        return dict(slots=slots, table=table, sfeat=sfeat, sexcl=sexcl,
+                    cand_static=cand_static, cand_idx=cand_idx,
+                    pos0=positions, overflow=overflow.astype(jnp.int32))
+
+    def apply(positions, box, gvals, data, state):
+        dtype = positions.dtype
+        subsets = data["subsets"]
+        charge, sig_half, eps2 = params.particle_params(data, gvals)
+        lam = params.slice_lambdas(plan.lam_source, gvals)
+        lam_c = lam[:, COUL]
+        lam_v = lam[:, VDW]
+        sl_tab = jnp.asarray(slice_table)
+        lam_c_nn = lam_c[sl_tab]
+        lam_v_nn = lam_v[sl_tab]
+
+        slots = state["slots"]
+        sfeat = state["sfeat"]
+
+        # ---- the per-step gather: positions into slot order
+        pos_p = jnp.concatenate([positions, jnp.zeros((1, 3), dtype)], axis=0)
+        pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
+                              1, 2)                            # (g, 3, C)
+        grid_pos = pos_fm.reshape(ncx, ncy, ncz, 3, capacity)
+        cand_pos = jnp.concatenate(
+            [jnp.roll(grid_pos, (-dx, -dy, -dz), axis=(0, 1, 2))
+             .reshape(n_cells, 3, capacity) for (dx, dy, dz) in HALF_OFFSETS],
+            axis=2)                                            # (g, 3, 14C)
+
+        rows_feat = jnp.concatenate([pos_fm, sfeat], axis=1)
+        cand_feat = jnp.concatenate([cand_pos, state["cand_static"]], axis=1)
+
+        (row_f, col_f, m_c, m_v), pad = kernel(
+            rows_feat, state["table"], state["sexcl"], cand_feat,
+            state["cand_idx"], lam_c_nn, lam_v_nn, box, n)
+        row_f = row_f[:n_cells]
+        col_f = col_f[:n_cells]
+        mc = jnp.sum(m_c, axis=0)
+        mv = jnp.sum(m_v, axis=0)
+        a = jnp.asarray(slice_pairs_np[:, 0])
+        b = jnp.asarray(slice_pairs_np[:, 1])
+        ec = jnp.where(a == b, mc[a, a], mc[a, b] + mc[b, a])
+        ev = jnp.where(a == b, mv[a, a], mv[a, b] + mv[b, a])
+        slice_energies = jnp.zeros((nslices, 2), dtype).at[:, COUL].add(ec)
+        slice_energies = slice_energies.at[:, VDW].add(ev)
+
+        # roll per-offset column forces back onto their home cells
+        slot_f = row_f.reshape(ncx, ncy, ncz, 3, capacity)
+        col_g = col_f.reshape(ncx, ncy, ncz, 3, 14, capacity)
+        for k, (dx, dy, dz) in enumerate(HALF_OFFSETS):
+            slot_f = slot_f + jnp.roll(col_g[:, :, :, :, k], (dx, dy, dz),
+                                       axis=(0, 1, 2))
+        slot_f = jnp.swapaxes(slot_f.reshape(n_cells, 3, capacity), 1, 2)
+
+        if is_ewald_family:
+            alpha = plan.ewald_alpha
+            onehot = (subsets[:, None]
+                      == jnp.arange(nsub)[None, :]).astype(dtype)
+            diag_ids = np.array([s * (s + 3) // 2 for s in range(nsub)])
+            # self energy (ReferenceSlicedLJCoulombIxn.cpp:203-213)
+            self_coul = -ONE_4PI_EPS0 * charge * charge * alpha / SQRT_PI
+            slice_energies = slice_energies.at[diag_ids, COUL].add(
+                self_coul @ onehot)
+            if method == NonbondedForce.LJPME:
+                self_vdw = (plan.dispersion_alpha ** 6 * 64.0
+                            * sig_half ** 6 * eps2 ** 2 / 12.0)
+                slice_energies = slice_energies.at[diag_ids, VDW].add(
+                    self_vdw @ onehot)
+            # neutralizing plasma (cpp:214-221)
+            volume = box_volume(box)
+            q_sub = charge @ onehot
+            factor = (-1.0 / (4.0 * alpha * alpha)) / (2.0 * EPSILON0 * volume)
+            qi = q_sub[slice_pairs[:, 0]]
+            qj = q_sub[slice_pairs[:, 1]]
+            w = jnp.where(slice_pairs[:, 0] == slice_pairs[:, 1],
+                          1.0, 2.0).astype(dtype)
+            slice_energies = slice_energies.at[:, COUL].add(w * qi * qj * factor)
+
+        if is_pme:
+            bricks = cfg["bricks"]
+            pos_b = _cells_to_bricks(pos_fm, counts, bricks)
+            feat_b = _cells_to_bricks(sfeat, counts, bricks)
+            q_b = feat_b[:, 0, :]
+            soh_b = feat_b[:, 3:3 + nsub, :]
+            e_k, f_kb = pme_bricks.pme_reciprocal_bricks(
+                pos_b, q_b, soh_b, box, lam_c, alpha=plan.ewald_alpha,
+                grid_shape=cfg["pme_grid"], moduli=cfg["pme_moduli"],
+                counts=bricks, slice_subset_pairs=slice_pairs,
+                slice_table=slice_table,
+                eterm=(None if eterm0 is None else eterm0.astype(dtype)))
+            slice_energies = slice_energies.at[:, COUL].add(e_k)
+            slot_f = slot_f + _bricks_to_cells(f_kb, counts, bricks)
+            if method == NonbondedForce.LJPME:
+                c6_b = 8.0 * feat_b[:, 1, :] ** 3 * feat_b[:, 2, :]
+                e_d, f_db = pme_bricks.pme_reciprocal_bricks(
+                    pos_b, c6_b, soh_b, box, lam_v,
+                    alpha=plan.dispersion_alpha,
+                    grid_shape=cfg["dispersion_grid"],
+                    moduli=cfg["dpme_moduli"], counts=bricks,
+                    slice_subset_pairs=slice_pairs, slice_table=slice_table,
+                    dispersion=True,
+                    eterm=(None if dterm0 is None else dterm0.astype(dtype)))
+                slice_energies = slice_energies.at[:, VDW].add(e_d)
+                slot_f = slot_f + _bricks_to_cells(f_db, counts, bricks)
+        elif method == NonbondedForce.Ewald:
+            from . import ewald as ewald_mod
+            kvec_ints = ewald_mod.half_space_kvectors(plan.ewald_kmax)
+            e_k, f_k = ewald_mod.ewald_reciprocal(
+                positions, box, charge, subsets, lam_c, kvec_ints=kvec_ints,
+                alpha=plan.ewald_alpha, num_subsets=nsub, num_slices=nslices,
+                slice_subset_pairs=slice_pairs)
+            slice_energies = slice_energies.at[:, COUL].add(e_k)
+
+        # single slot->atom unsort (slot indices unique per real atom)
+        forces = jnp.zeros((n + 1, 3), dtype).at[slots].add(
+            slot_f.reshape(-1, 3))[:n]
+        if method == NonbondedForce.Ewald:
+            forces = forces + f_k
+
+        # 1-4 exceptions
+        sigma14, four_eps14, qq14 = params.nb14_params(data, gvals)
+        e_14, f_14 = bonded.nb14_interactions(
+            positions, box, data["nb14_atoms"], sigma14, four_eps14, qq14,
+            data["nb14_slice"], lam_c, lam_v,
+            periodic=plan.exceptions_periodic, num_slices=nslices,
+            num_particles=n)
+        slice_energies = slice_energies + e_14
+        forces = forces + f_14
+
+        # per-slice long-range dispersion correction / volume
+        if method in (NonbondedForce.CutoffPeriodic, NonbondedForce.Ewald,
+                      NonbondedForce.PME):
+            volume = box_volume(box)
+            slice_energies = slice_energies.at[:, VDW].add(
+                data["dispersion_coefficients"].astype(dtype) / volume)
+
+        disp = positions - state["pos0"]
+        maxdisp2 = jnp.max(jnp.sum(disp * disp, axis=-1))
+        aux = dict(overflow=state["overflow"], maxdisp2=maxdisp2)
+        return slice_energies, forces, aux
+
+    return prepare, apply, cfg

@@ -1,10 +1,25 @@
-"""Fused MD step loop for throughput benchmarking.
+"""Fused MD step loop for production throughput.
 
-One jitted ``lax.scan`` over leapfrog-Verlet steps with the full sliced
-nonbonded evaluation inside — the TPU analog of the reference's
+One jitted nested ``lax.scan`` over leapfrog-Verlet steps with the full
+sliced nonbonded evaluation inside — the TPU analog of the reference's
 integrator.step() loop, but with zero host round-trips per step (the
 reference launches ~10 kernels per step from the host,
 CommonNonbondedSlicingKernels.cpp:846-1402).
+
+Structure (round 2): the neighbor/slot state from ``ops.fused.prepare`` is
+rebuilt every ``reuse_steps`` outer iterations and reused by the inner steps
+under a skin guard — the analog of Verlet-list reuse (the reference instead
+rebuilds per evaluation, ReferenceNonbondedSlicingKernels.cpp:197, or relies
+on OpenMM's tile lists).  Safety is monitored *in-trace* and checked on the
+host after the scan:
+
+* ``overflow`` — atoms beyond the static cell capacity (never silently
+  dropped; raise and rebuild with a larger capacity)
+* ``maxdisp2`` — max squared displacement since the last rebuild; beyond
+  (skin/2)^2 the frozen cell assignment may miss pairs or PME windows
+* the runtime box must equal ``plan.box0`` exactly: the cell grid sizing and
+  the hoisted PME convolution kernels are box0-static (ops/engine.py analog
+  of the reference's per-call box re-read is the Context path, not this one)
 
 Optionally includes harmonic bonds (for flexible intramolecular geometry)
 computed inside the same compiled step.
@@ -16,46 +31,147 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.force import OpenMMException
 from ..ops import engine as engine_mod
+from ..ops import fused as fused_mod
 from ..ops.params import slice_lambdas
 
 
+def _bond_forces_fn(bonds, n, dtype):
+    if bonds is None or len(bonds) == 0:
+        return None
+    bonds = np.asarray(bonds, dtype=np.float64)
+    b_i = jnp.asarray(bonds[:, 0].astype(np.int32))
+    b_j = jnp.asarray(bonds[:, 1].astype(np.int32))
+    b_r0 = jnp.asarray(bonds[:, 2], dtype)
+    b_k = jnp.asarray(bonds[:, 3], dtype)
+
+    def bond_forces(pos):
+        dr = pos[b_i] - pos[b_j]
+        r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
+        dedr = b_k * (r - b_r0) / jnp.maximum(r, 1e-12)
+        f = -dedr[:, None] * dr
+        out = jnp.zeros((n, 3), dtype)
+        return out.at[b_i].add(f).at[b_j].add(-f)
+
+    return bond_forces
+
+
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
-                 bonds=None, cell_capacity=None):
+                 bonds=None, cell_capacity=None, reuse_steps=None,
+                 interpret=None):
     """Returns run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy).
 
     Leapfrog Verlet: v += dt*F/m; x += dt*v.  ``bonds`` is an optional
     (M, 4) array-like of (i, j, r0, k) harmonic bonds evaluated inside the
     step (periodic minimum image is NOT applied — bonded pairs are assumed
     never to straddle half the box).
+
+    ``reuse_steps`` (K) controls how many steps share one neighbor/slot
+    rebuild; None picks K from the available skin (conservative default).
+    Raises OpenMMException after the run if the cell capacity overflowed or
+    any atom moved more than skin/2 between rebuilds.
     """
-    compute = engine_mod.make_compute(plan, True, True, block_size=block_size,
-                                      cell_capacity=cell_capacity,
-                                      hoist_eterm=True)
-    inv_m = jnp.asarray(np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300), 0.0),
-                        dtype)[:, None]
-    lam_source = plan.lam_source
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    eng = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
+                                      hoist_eterm=True, interpret=interpret)
     n = plan.num_particles
+    inv_m = jnp.asarray(
+        np.where(np.asarray(masses) > 0,
+                 1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0),
+        dtype)[:, None]
+    lam_source = plan.lam_source
+    bond_forces = _bond_forces_fn(bonds, n, dtype)
+    box0 = np.asarray(plan.box0, dtype=np.float64)
 
-    if bonds is not None and len(bonds) > 0:
-        bonds = np.asarray(bonds, dtype=np.float64)
-        b_i = jnp.asarray(bonds[:, 0].astype(np.int32))
-        b_j = jnp.asarray(bonds[:, 1].astype(np.int32))
-        b_r0 = jnp.asarray(bonds[:, 2], dtype)
-        b_k = jnp.asarray(bonds[:, 3], dtype)
+    if eng is None:
+        return _make_md_step_simple(plan, inv_m, dt, dtype, block_size,
+                                    bond_forces, cell_capacity, lam_source)
 
-        def bond_forces(pos):
-            dr = pos[b_i] - pos[b_j]
-            r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
-            dedr = b_k * (r - b_r0) / jnp.maximum(r, 1e-12)
-            f = -dedr[:, None] * dr
-            out = jnp.zeros((n, 3), dtype)
-            return out.at[b_i].add(f).at[b_j].add(-f)
-    else:
-        bond_forces = None
+    prepare, apply, cfg = eng
+    skin = cfg["skin"]
+    if reuse_steps is None:
+        reuse_steps = 10 if skin >= 0.03 else 1
+    K = max(1, int(reuse_steps))
+    disp_limit2 = (0.5 * skin) ** 2 if K > 1 else np.inf
+
+    @partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1))
+    def run_scan(pos, vel, box, gvals, data, n_outer, rem):
+        def inner(carry, _):
+            pos, vel, dmax, state = carry
+            slice_e, forces, aux = apply(pos, box, gvals, data, state)
+            if bond_forces is not None:
+                forces = forces + bond_forces(pos)
+            vel = vel + dt * forces * inv_m
+            pos = pos + dt * vel
+            dmax = jnp.maximum(dmax, aux["maxdisp2"])
+            return (pos, vel, dmax, state), None
+
+        def block(pos, vel, ov, dmax, k):
+            state = prepare(pos, box, gvals, data)
+            (pos, vel, dmax, _), _ = jax.lax.scan(
+                inner, (pos, vel, dmax, state), None, length=k)
+            ov = jnp.maximum(ov, state["overflow"])
+            return pos, vel, ov, dmax
+
+        def outer(carry, _):
+            pos, vel, ov, dmax = carry
+            return block(pos, vel, ov, dmax, K), None
+
+        zero = jnp.zeros((), dtype)
+        (pos, vel, ov, dmax), _ = jax.lax.scan(
+            outer, (pos, vel, jnp.zeros((), jnp.int32), zero), None,
+            length=n_outer)
+        if rem:
+            pos, vel, ov, dmax = block(pos, vel, ov, dmax, rem)
+        # final energy at the final positions (fresh rebuild)
+        state = prepare(pos, box, gvals, data)
+        slice_e, _, aux = apply(pos, box, gvals, data, state)
+        ov = jnp.maximum(ov, state["overflow"])
+        lam = slice_lambdas(lam_source, gvals)
+        energy = engine_mod.contract_energy(slice_e, lam)
+        return pos, vel, energy, ov, dmax
+
+    def run(pos, vel, box, gvals, data, n_steps):
+        # hoisted convolution kernels + static cell grid are box0-only
+        # (tolerance covers the f32 cast of an f64 default box)
+        if not np.allclose(np.asarray(box, dtype=np.float64), box0,
+                           rtol=0.0, atol=1e-6 * float(np.max(np.abs(box0)))):
+            raise OpenMMException(
+                "make_md_step: the runtime box must equal the plan's default "
+                "box (the cell grid and PME convolution kernels are "
+                "box-static); reinitialize for a different box.")
+        pos, vel, energy, ov, dmax = run_scan(
+            pos, vel, box, gvals, data, int(n_steps) // K, int(n_steps) % K)
+        if int(ov) > 0:
+            raise OpenMMException(
+                f"Cell-list capacity overflow ({int(ov)} atoms dropped): "
+                "the density fluctuation exceeded the static cell capacity. "
+                "Rebuild with a larger cell_capacity.")
+        if float(dmax) > disp_limit2:
+            raise OpenMMException(
+                "Neighbor-list skin violation: an atom moved "
+                f"{float(dmax) ** 0.5:.4f} nm between rebuilds "
+                f"(> skin/2 = {0.5 * skin:.4f} nm). Reduce reuse_steps.")
+        return pos, vel, energy
+
+    run.config = dict(reuse_steps=K, skin=skin, **{k: v for k, v in cfg.items()
+                                                   if k in ("counts",
+                                                            "capacity",
+                                                            "pme_grid")})
+    return run
+
+
+def _make_md_step_simple(plan, inv_m, dt, dtype, block_size, bond_forces,
+                         cell_capacity, lam_source):
+    """Fallback: per-step rebuild via the generic engine (small / nonperiodic
+    systems where the fused slot engine does not apply)."""
+    compute = engine_mod.make_compute(plan, True, True, block_size=block_size,
+                                      cell_capacity=cell_capacity)
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
-    def run(pos, vel, box, gvals, data, n_steps):
+    def run_scan(pos, vel, box, gvals, data, n_steps):
         def step(carry, _):
             pos, vel = carry
             _, forces = compute(pos, box, gvals, data)
@@ -71,4 +187,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         energy = engine_mod.contract_energy(slice_e, lam)
         return pos, vel, energy
 
+    def run(pos, vel, box, gvals, data, n_steps):
+        return run_scan(pos, vel, box, gvals, data, int(n_steps))
+
+    run.config = dict(reuse_steps=1)
     return run

@@ -1,0 +1,125 @@
+"""Fused prepare/apply engine vs the all-pairs oracle (CPU interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonbondedslicing_tpu as nbs
+from nonbondedslicing_tpu.ops import engine as engine_mod
+from nonbondedslicing_tpu.ops import fused
+from nonbondedslicing_tpu.ops import plan as plan_mod
+from nonbondedslicing_tpu.ops.params import slice_lambdas
+
+
+def _system(method, n_mol=400, box=4.8, seed=2, nsub=3):
+    rng = np.random.default_rng(seed)
+    system = nbs.System()
+    system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
+    force = nbs.SlicedNonbondedForce(nsub)
+    force.setNonbondedMethod(method)
+    force.setCutoffDistance(0.9)
+    n = 2 * n_mol
+    positions = rng.random((n, 3)) * box
+    for k in range(n_mol):
+        system.addParticle(16.0)
+        system.addParticle(1.0)
+        force.addParticle(-0.5, 0.31, 0.6)
+        force.addParticle(0.5, 0.1, 0.05)
+        # keep the excluded pair bonded-range
+        positions[2 * k + 1] = positions[2 * k] + rng.normal(scale=0.03, size=3)
+        force.addException(2 * k, 2 * k + 1, 0.0, 1.0, 0.0)
+        force.setParticleSubset(2 * k, k % nsub)
+        force.setParticleSubset(2 * k + 1, (k + 1) % nsub)
+    force.addGlobalParameter("lam01", 0.8)
+    force.addScalingParameter("lam01", 0, 1, True, True)
+    system.addForce(force)
+    return system, force, positions
+
+
+@pytest.mark.parametrize("method", [
+    nbs.SlicedNonbondedForce.CutoffPeriodic,
+    nbs.SlicedNonbondedForce.PME,
+    nbs.SlicedNonbondedForce.LJPME,
+])
+def test_fused_matches_all_pairs_oracle(method):
+    system, force, positions = _system(method)
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    pos = jnp.asarray(positions, dtype)
+    box = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()), dtype)
+    gvals = jnp.asarray([0.8], dtype)
+
+    oracle = engine_mod.make_compute(plan, True, True, neighbor="all_pairs")
+    e_o, f_o = oracle(pos, box, gvals, data)
+
+    out = fused.make_fused_engine(plan, interpret=True)
+    assert out is not None, "fused engine must apply to this system"
+    prepare, apply, cfg = out
+    state = prepare(pos, box, gvals, data)
+    e_f, f_f, aux = apply(pos, box, gvals, data, state)
+    assert int(aux["overflow"]) == 0
+    assert float(aux["maxdisp2"]) == 0.0
+
+    scale = float(jnp.max(jnp.abs(e_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_o),
+                               atol=2e-4 * scale)
+    fscale = float(jnp.max(jnp.abs(f_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_o),
+                               atol=2e-4 * fscale)
+
+
+def test_fused_reuse_under_drift():
+    """State prepared at pos0 must stay valid for positions drifted by less
+    than the skin/window margin."""
+    system, force, positions = _system(nbs.SlicedNonbondedForce.PME)
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    pos0 = jnp.asarray(positions, dtype)
+    box = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()), dtype)
+    gvals = jnp.asarray([0.8], dtype)
+
+    out = fused.make_fused_engine(plan, interpret=True)
+    prepare, apply, cfg = out
+    assert cfg["skin"] > 0
+    rng = np.random.default_rng(5)
+    # coherent per-molecule drift below skin/2 (exclusion pairs move together)
+    drift_mol = rng.uniform(-1, 1, (positions.shape[0] // 2, 3))
+    drift_mol *= 0.45 * cfg["skin"] / np.linalg.norm(drift_mol, axis=1).max()
+    pos1 = pos0 + jnp.asarray(np.repeat(drift_mol, 2, axis=0), dtype)
+
+    state = prepare(pos0, box, gvals, data)
+    e_r, f_r, aux = apply(pos1, box, gvals, data, state)
+    assert float(aux["maxdisp2"]) <= (cfg["skin"] / 2) ** 2 + 1e-12
+
+    # oracle at the drifted positions
+    oracle = engine_mod.make_compute(plan, True, True, neighbor="all_pairs")
+    e_o, f_o = oracle(pos1, box, gvals, data)
+    scale = float(jnp.max(jnp.abs(e_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_o),
+                               atol=2e-4 * scale)
+    fscale = float(jnp.max(jnp.abs(f_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_o),
+                               atol=2e-4 * fscale)
+
+
+def test_fused_overflow_reported():
+    """Cramming atoms into one cell must be reported, not silently dropped."""
+    system, force, positions = _system(nbs.SlicedNonbondedForce.PME,
+                                       n_mol=300)
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    box = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()), dtype)
+    gvals = jnp.asarray([0.8], dtype)
+    # all atoms into one cell corner
+    pos = jnp.asarray(np.random.default_rng(0).random((600, 3)) * 0.4, dtype)
+    out = fused.make_fused_engine(plan, interpret=True)
+    prepare, apply, cfg = out
+    state = prepare(pos, box, gvals, data)
+    assert int(state["overflow"]) > 0
