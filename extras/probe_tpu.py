@@ -31,7 +31,7 @@ def main():
     from nonbondedslicing_tpu.ops import engine as engine_mod
     from nonbondedslicing_tpu.ops import plan as plan_mod
 
-    system, force, positions, box, bonds = bench.build_system()
+    system, force, positions, box, bonds, constraints = bench.build_system()
     plan = plan_mod.build_plan(force, system)
     print("PME grid:", plan.pme_grid, "alpha:", round(plan.ewald_alpha, 4),
           flush=True)

@@ -39,7 +39,7 @@ def main():
     from nonbondedslicing_tpu.runtime import native
     from nonbondedslicing_tpu.ops.geometry import recip_box_vectors
 
-    system, force, positions, box, bonds = bench.build_system()
+    system, force, positions, box, bonds, constraints = bench.build_system()
     plan = plan_mod.build_plan(force, system)
     dtype = jnp.float32
     n = plan.num_particles

@@ -244,7 +244,7 @@ class Context:
             return mask
         return int(groups) & ((1 << 32) - 1)
 
-    def _check_box(self, force):
+    def _check_box(self, force, comp=None):
         method = force.getNonbondedMethod()
         if method in (NonbondedForce.CutoffPeriodic,) + tuple(EWALD_METHODS):
             min_size = 1.999999 * force.getCutoffDistance()
@@ -253,6 +253,28 @@ class Context:
                 raise OpenMMException(
                     "The periodic box size has decreased to less than twice "
                     "the nonbonded cutoff.")
+            # the cell grid is sized from the plan's default box; if the
+            # runtime box shrank enough that a cell's perpendicular width
+            # falls below the cutoff, in-range pairs would be silently
+            # missed (the reference rebuilds its neighbor list from the
+            # current box each evaluation) — reject and ask for reinit
+            if comp is not None and comp.plan.box0 is not None:
+                from ..ops.neighbors import (_perpendicular_widths,
+                                             choose_cell_grid)
+                plan = comp.plan
+                if (plan.num_particles
+                        >= engine_mod._CELL_LIST_MIN_PARTICLES):
+                    cfg = choose_cell_grid(plan.box0, plan.cutoff,
+                                           plan.num_particles)
+                    if cfg is not None:
+                        widths = (_perpendicular_widths(self._box)
+                                  / np.asarray(cfg[0]))
+                        if np.any(widths < plan.cutoff):
+                            raise OpenMMException(
+                                "The periodic box has shrunk below the "
+                                "neighbor-cell grid sized from the default "
+                                "box; call reinitialize() after changing "
+                                "the box vectors.")
 
     def _check_exclusion_span(self, comp):
         """The fused TPU exclusion-correction path requires excluded pairs
@@ -312,7 +334,7 @@ class Context:
                     include_reciprocal = False
                 if not (include_direct or include_reciprocal):
                     continue
-                self._check_box(force)
+                self._check_box(force, comp)
                 self._check_exclusion_span(comp)
                 fn = comp.fn(include_direct, include_reciprocal)
                 positions = jnp.asarray(pos64, dtype=comp.dtype)
@@ -411,7 +433,84 @@ class Context:
 
     # ----------------------------------------------------------- dynamics
 
+    def _fast_md_runner(self, dt):
+        """Fused device-resident MD loop (runtime/fastpath.py) when the
+        system shape allows it: exactly one SlicedNonbondedForce (all groups
+        active by construction of step()), plus optional HarmonicBondForces.
+        Returns None when ineligible — callers fall back to the per-step
+        host loop.  This makes integrator.step() the production path
+        (the reference's integrator.step() is its production path via
+        SlicedNonbondedForceImpl::calcForcesAndEnergy,
+        openmmapi/src/SlicedNonbondedForceImpl.cpp:135-142)."""
+        sliced = [f for f in self._system.getForces()
+                  if isinstance(f, SlicedNonbondedForce)]
+        others = [f for f in self._system.getForces()
+                  if not isinstance(f, (SlicedNonbondedForce,
+                                        HarmonicBondForce))]
+        if len(sliced) != 1 or others:
+            return None
+        comp = self._compiled[id(sliced[0])]
+        plan = comp.plan
+        if comp.dtype != jnp.float32:
+            # the f64 Reference-oracle path stays on the host loop (the fused
+            # Pallas kernel is an f32 fast path)
+            return None
+        if plan.box0 is None or not np.allclose(
+                self._box, np.asarray(plan.box0),
+                rtol=0.0, atol=1e-6 * float(np.max(np.abs(self._box)))):
+            return None
+        cached = getattr(comp, "_md_cache", None)
+        if cached is not None and cached[0] == dt:
+            return cached[1]
+        from ..runtime.fastpath import make_md_step
+        bonds = []
+        bonds_periodic = False
+        for f in self._system.getForces():
+            if isinstance(f, HarmonicBondForce):
+                bonds.extend(f.getBondParameters(i)
+                             for i in range(f.getNumBonds()))
+                bonds_periodic |= f.usesPeriodicBoundaryConditions()
+        masses = np.array([self._system.getParticleMass(i)
+                           for i in range(self._system.getNumParticles())])
+        reuse = 10
+
+        def runner(steps):
+            nonlocal reuse
+            box = jnp.asarray(self._box, comp.dtype)
+            gvals = self._gvals(comp)
+            while True:
+                # (re)create inside the loop: run_scan donates pos/vel, so a
+                # guard-tripped attempt leaves them deleted
+                pos = jnp.asarray(self._positions, comp.dtype)
+                vel = jnp.asarray(self._velocities, comp.dtype)
+                run = comp.__dict__.setdefault("_md_runs", {}).get(reuse)
+                if run is None:
+                    run = make_md_step(plan, masses, dt, dtype=comp.dtype,
+                                       bonds=bonds,
+                                       bonds_periodic=bonds_periodic,
+                                       reuse_steps=reuse)
+                    comp._md_runs[reuse] = run
+                try:
+                    pos2, vel2, _ = run(pos, vel, box, gvals, comp.data,
+                                        steps)
+                    break
+                except OpenMMException as exc:
+                    # skin violations auto-degrade to per-step rebuilds;
+                    # anything else (overflow, box) propagates
+                    if "skin violation" not in str(exc) or reuse == 1:
+                        raise
+                    reuse = max(1, reuse // 2)
+            self._positions = np.asarray(pos2, dtype=np.float64)
+            self._velocities = np.asarray(vel2, dtype=np.float64)
+
+        comp._md_cache = (dt, runner)
+        return runner
+
     def _integrate(self, steps, dt):
+        fast = self._fast_md_runner(dt)
+        if fast is not None:
+            fast(int(steps))
+            return
         masses = np.array([self._system.getParticleMass(i)
                            for i in range(self._system.getNumParticles())])
         inv_m = np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300), 0.0)

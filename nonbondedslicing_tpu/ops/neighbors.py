@@ -56,7 +56,13 @@ def choose_cell_grid(box, cutoff, num_particles, max_cells=262144):
     if np.any(counts < 3):
         return None
     while int(np.prod(counts)) > max_cells:
-        counts = np.maximum(counts // 2, 1)
+        # halve only the largest axis: halving all axes would push an
+        # anisotropic grid (e.g. 300x300x3) below 3 cells on its thin axis,
+        # where the 27-cell rolled neighborhoods wrap onto the same cell and
+        # double-count pairs
+        counts[np.argmax(counts)] //= 2
+    if np.any(counts < 3):
+        return None
     n_cells = int(np.prod(counts))
     mean_occ = num_particles / n_cells
     capacity = int(math.ceil(mean_occ * 2.0 + 4))

@@ -329,11 +329,42 @@ def build_plan(force: SlicedNonbondedForce, system) -> Plan:
 def refresh_plan(plan: Plan, force: SlicedNonbondedForce, system) -> Plan:
     """Rebuild parameter data after updateParametersInContext, enforcing the
     reference's constraints: same particle count, same set of non-excluded
-    exceptions (ReferenceNonbondedSlicingKernels.cpp:270-319)."""
+    exceptions (ReferenceNonbondedSlicingKernels.cpp:270-319), and no
+    structural changes to what the compiled functions closed over — the
+    reference similarly rejects re-wiring that its compiled GPU kernels baked
+    in (CommonNonbondedSlicingKernels.cpp:1404-1568).  Such changes require
+    Context.reinitialize()."""
     if force.getNumParticles() != plan.num_particles:
         raise OpenMMException("updateParametersInContext: The number of particles has changed")
     new_plan = build_plan(force, system)
     if new_plan.nb14_atoms.shape[0] != plan.nb14_atoms.shape[0]:
         raise OpenMMException(
             "updateParametersInContext: The number of non-excluded exceptions has changed")
+    # structural guards: the jitted functions close over these (lambda wiring,
+    # global-parameter ordering, method configuration); silently swapping the
+    # plan would leave stale closures in the compiled step
+    if new_plan.global_names != plan.global_names:
+        raise OpenMMException(
+            "updateParametersInContext: The set of global parameters has "
+            "changed; call reinitialize() instead")
+    if not np.array_equal(new_plan.lam_source, plan.lam_source):
+        raise OpenMMException(
+            "updateParametersInContext: The scaling parameters have changed; "
+            "call reinitialize() instead")
+    if new_plan.deriv_names != plan.deriv_names:
+        raise OpenMMException(
+            "updateParametersInContext: The energy-parameter-derivative "
+            "requests have changed; call reinitialize() instead")
+    if (new_plan.method != plan.method
+            or new_plan.num_subsets != plan.num_subsets
+            or new_plan.cutoff != plan.cutoff
+            or new_plan.use_switch != plan.use_switch
+            or new_plan.switch_distance != plan.switch_distance
+            or new_plan.exceptions_periodic != plan.exceptions_periodic
+            or new_plan.ewald_alpha != plan.ewald_alpha
+            or new_plan.pme_grid != plan.pme_grid
+            or new_plan.dispersion_alpha != plan.dispersion_alpha):
+        raise OpenMMException(
+            "updateParametersInContext: The nonbonded method configuration "
+            "has changed; call reinitialize() instead")
     return new_plan

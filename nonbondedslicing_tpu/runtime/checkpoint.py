@@ -25,7 +25,10 @@ def create_checkpoint(context) -> bytes:
         positions=np.asarray(context._positions, dtype=np.float64),
         velocities=np.asarray(context._velocities, dtype=np.float64),
         box=np.asarray(context._box, dtype=np.float64),
-        param_names=np.array(list(params.keys()), dtype=object),
+        # fixed-width unicode (not object) so the npz round-trips without
+        # pickle — np.load(allow_pickle=True) on untrusted blobs would allow
+        # arbitrary code execution
+        param_names=np.array(list(params.keys()), dtype=np.str_),
         param_values=np.array(list(params.values()), dtype=np.float64),
     )
     return buf.getvalue()
@@ -33,7 +36,7 @@ def create_checkpoint(context) -> bytes:
 
 def load_checkpoint(context, blob: bytes) -> None:
     """Restore a Context's dynamic state from ``create_checkpoint`` output."""
-    data = np.load(io.BytesIO(blob), allow_pickle=True)
+    data = np.load(io.BytesIO(blob), allow_pickle=False)
     n = context.getSystem().getNumParticles()
     positions = data["positions"]
     if positions.shape != (n, 3):

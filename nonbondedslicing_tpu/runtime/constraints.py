@@ -1,0 +1,119 @@
+"""Holonomic distance constraints (vectorized M-SHAKE / RATTLE).
+
+The reference relies on OpenMM core for constraints (SETTLE/CCMA live outside
+the plugin repo); rigid 3-site water at a 2 fs step is the standard regime the
+reference's CUDA platform is benchmarked in.  This module provides the
+TPU-native equivalent: a fully vectorized matrix-SHAKE solver over independent
+constraint clusters (e.g. one rigid triangle per water), run inside the
+compiled MD step.
+
+Algorithm (standard published form): for cluster constraints
+sigma_k = |r_ij|^2 - d_k^2 = 0, iterate Newton steps on the lambda vector
+using reference-direction gradients; each iteration solves the small
+(n_cons x n_cons) coupling system per cluster in closed form (n_cons <= 3
+here, so an explicit 3x3 inverse).  Starting from an unconstrained update of
+an already-satisfied configuration, 4-6 iterations reach ~1e-10 relative.
+
+RATTLE velocity stage: project velocities onto the constraint manifold by
+solving  J lambda = -r_now . v_rel  with the same coupling matrices.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _solve3(A, b):
+    """Batched closed-form solve of (..., 3, 3) systems (adjugate/det)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / det
+    x0 = (c00 * b[..., 0] + c01 * b[..., 1] + c02 * b[..., 2]) * inv_det
+    x1 = (c10 * b[..., 0] + c11 * b[..., 1] + c12 * b[..., 2]) * inv_det
+    x2 = (c20 * b[..., 0] + c21 * b[..., 1] + c22 * b[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def make_constrainer(pairs, dists, masses, n_particles, iterations=12,
+                     dtype=jnp.float32):
+    """Build position/velocity constraint projectors.
+
+    pairs: (M, 3, 2) int — per-cluster constraint atom pairs (clusters of
+    exactly 3 constraints, e.g. rigid 3-site water: O-H1, O-H2, H1-H2).
+    dists: (M, 3) target distances.  Returns (project_positions,
+    project_velocities):
+
+    project_positions(pos_ref, pos_new) -> pos_constrained
+    project_velocities(pos, vel) -> vel_constrained
+    """
+    pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
+    m = pairs.shape[0]
+    i_idx = jnp.asarray(pairs[..., 0])       # (M, 3)
+    j_idx = jnp.asarray(pairs[..., 1])
+    d2 = jnp.asarray(np.asarray(dists, dtype=np.float64) ** 2, dtype)
+    inv_mass = np.where(np.asarray(masses) > 0,
+                        1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0)
+    im_i = jnp.asarray(inv_mass, dtype)[i_idx]   # (M, 3)
+    im_j = jnp.asarray(inv_mass, dtype)[j_idx]
+
+    # coupling sparsity: S[k, l] = +invm on shared atoms with sign from
+    # orientation — precompute per cluster as (M, 3, 3) scalar factors
+    s = np.zeros((m, 3, 3))
+    for k in range(3):
+        for l in range(3):
+            ik, jk = pairs[:, k, 0], pairs[:, k, 1]
+            il, jl = pairs[:, l, 0], pairs[:, l, 1]
+            s[:, k, l] = (inv_mass[ik] * (ik == il) - inv_mass[ik] * (ik == jl)
+                          - inv_mass[jk] * (jk == il)
+                          + inv_mass[jk] * (jk == jl))
+    s_mat = jnp.asarray(s, dtype)
+
+    def _apply_lambda(pos, lam, r_dir):
+        """pos -= invM * sum_k lam_k * grad sigma_k (grad = 2 r_dir)."""
+        dp_i = (lam * 2.0)[..., None] * r_dir * im_i[..., None]   # (M, 3, 3)
+        dp_j = -(lam * 2.0)[..., None] * r_dir * im_j[..., None]
+        flat_idx = jnp.concatenate([i_idx.reshape(-1), j_idx.reshape(-1)])
+        flat_dp = jnp.concatenate([dp_i.reshape(-1, 3), dp_j.reshape(-1, 3)])
+        return pos.at[flat_idx].add(-flat_dp)
+
+    def project_positions(pos_ref, pos_new):
+        """Iteratively restore |r_ij| = d using reference directions."""
+        r_ref = pos_ref[i_idx] - pos_ref[j_idx]       # (M, 3, 3)
+
+        def body(_, pos):
+            r_now = pos[i_idx] - pos[j_idx]
+            sigma = jnp.sum(r_now * r_now, axis=-1) - d2          # (M, 3)
+            # J[k, l] = 4 * s[k, l] * (r_now_k . r_ref_l)
+            dots = jnp.einsum("mkx,mlx->mkl", r_now, r_ref)
+            J = 4.0 * s_mat * dots
+            lam = _solve3(J, sigma)
+            return _apply_lambda(pos, lam, r_ref)
+
+        return jax.lax.fori_loop(0, iterations, body, pos_new)
+
+    def project_velocities(pos, vel):
+        """RATTLE stage: remove velocity components along constraints."""
+        r_now = pos[i_idx] - pos[j_idx]
+        v_rel = vel[i_idx] - vel[j_idx]
+        rhs = jnp.sum(r_now * v_rel, axis=-1)                     # (M, 3)
+        dots = jnp.einsum("mkx,mlx->mkl", r_now, r_now)
+        J = s_mat * dots
+        lam = _solve3(J, rhs)
+        dv_i = lam[..., None] * r_now * im_i[..., None]
+        dv_j = -lam[..., None] * r_now * im_j[..., None]
+        flat_idx = jnp.concatenate([i_idx.reshape(-1), j_idx.reshape(-1)])
+        flat_dv = jnp.concatenate([dv_i.reshape(-1, 3), dv_j.reshape(-1, 3)])
+        return vel.at[flat_idx].add(-flat_dv)
+
+    return project_positions, project_velocities

@@ -37,17 +37,21 @@ from ..ops import fused as fused_mod
 from ..ops.params import slice_lambdas
 
 
-def _bond_forces_fn(bonds, n, dtype):
+def _bond_forces_fn(bonds, n, dtype, periodic=False, box=None):
     if bonds is None or len(bonds) == 0:
         return None
+    from ..ops.geometry import min_image
     bonds = np.asarray(bonds, dtype=np.float64)
     b_i = jnp.asarray(bonds[:, 0].astype(np.int32))
     b_j = jnp.asarray(bonds[:, 1].astype(np.int32))
     b_r0 = jnp.asarray(bonds[:, 2], dtype)
     b_k = jnp.asarray(bonds[:, 3], dtype)
+    box_c = None if box is None else jnp.asarray(box, dtype)
 
     def bond_forces(pos):
         dr = pos[b_i] - pos[b_j]
+        if periodic:
+            dr = min_image(dr, box_c)
         r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
         dedr = b_k * (r - b_r0) / jnp.maximum(r, 1e-12)
         f = -dedr[:, None] * dr
@@ -59,7 +63,7 @@ def _bond_forces_fn(bonds, n, dtype):
 
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                  bonds=None, cell_capacity=None, reuse_steps=None,
-                 interpret=None):
+                 interpret=None, bonds_periodic=False, constraints=None):
     """Returns run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy).
 
     Leapfrog Verlet: v += dt*F/m; x += dt*v.  ``bonds`` is an optional
@@ -82,11 +86,28 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                  1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0),
         dtype)[:, None]
     lam_source = plan.lam_source
-    bond_forces = _bond_forces_fn(bonds, n, dtype)
+    bond_forces = _bond_forces_fn(bonds, n, dtype, periodic=bonds_periodic,
+                                  box=plan.box0)
     box0 = np.asarray(plan.box0, dtype=np.float64)
+    if constraints is not None:
+        from .constraints import make_constrainer
+        c_pairs, c_dists = constraints
+        proj_x, proj_v = make_constrainer(c_pairs, c_dists, masses, n,
+                                          dtype=dtype)
+    else:
+        proj_x = proj_v = None
+
+    def integrate(pos, vel, forces):
+        """Leapfrog Verlet with optional SHAKE/RATTLE constraint stages."""
+        vel = vel + dt * forces * inv_m
+        if proj_x is None:
+            return pos + dt * vel, vel
+        pos_new = proj_x(pos, pos + dt * vel)
+        vel = (pos_new - pos) / dt
+        return pos_new, proj_v(pos_new, vel)
 
     if eng is None:
-        return _make_md_step_simple(plan, inv_m, dt, dtype, block_size,
+        return _make_md_step_simple(plan, integrate, dt, dtype, block_size,
                                     bond_forces, cell_capacity, lam_source)
 
     prepare, apply, cfg = eng
@@ -98,37 +119,39 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
 
     @partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1))
     def run_scan(pos, vel, box, gvals, data, n_outer, rem):
+        nslices = plan.num_slices
+
         def inner(carry, _):
-            pos, vel, dmax, state = carry
+            pos, vel, dmax, _, state = carry
             slice_e, forces, aux = apply(pos, box, gvals, data, state)
             if bond_forces is not None:
                 forces = forces + bond_forces(pos)
-            vel = vel + dt * forces * inv_m
-            pos = pos + dt * vel
+            pos, vel = integrate(pos, vel, forces)
             dmax = jnp.maximum(dmax, aux["maxdisp2"])
-            return (pos, vel, dmax, state), None
+            return (pos, vel, dmax, slice_e, state), None
 
-        def block(pos, vel, ov, dmax, k):
+        def block(pos, vel, ov, dmax, se, k):
             state = prepare(pos, box, gvals, data)
-            (pos, vel, dmax, _), _ = jax.lax.scan(
-                inner, (pos, vel, dmax, state), None, length=k)
+            (pos, vel, dmax, se, _), _ = jax.lax.scan(
+                inner, (pos, vel, dmax, se, state), None, length=k)
             ov = jnp.maximum(ov, state["overflow"])
-            return pos, vel, ov, dmax
+            return pos, vel, ov, dmax, se
 
         def outer(carry, _):
-            pos, vel, ov, dmax = carry
-            return block(pos, vel, ov, dmax, K), None
+            pos, vel, ov, dmax, se = carry
+            return block(pos, vel, ov, dmax, se, K), None
 
         zero = jnp.zeros((), dtype)
-        (pos, vel, ov, dmax), _ = jax.lax.scan(
-            outer, (pos, vel, jnp.zeros((), jnp.int32), zero), None,
+        se0 = jnp.zeros((nslices, 2), dtype)
+        (pos, vel, ov, dmax, slice_e), _ = jax.lax.scan(
+            outer, (pos, vel, jnp.zeros((), jnp.int32), zero, se0), None,
             length=n_outer)
         if rem:
-            pos, vel, ov, dmax = block(pos, vel, ov, dmax, rem)
-        # final energy at the final positions (fresh rebuild)
-        state = prepare(pos, box, gvals, data)
-        slice_e, _, aux = apply(pos, box, gvals, data, state)
-        ov = jnp.maximum(ov, state["overflow"])
+            pos, vel, ov, dmax, slice_e = block(pos, vel, ov, dmax, slice_e,
+                                                rem)
+        # energy from the LAST force evaluation (i.e. at the positions the
+        # final integration step started from) — avoids instantiating a whole
+        # extra prepare+apply in the compiled program just for the report
         lam = slice_lambdas(lam_source, gvals)
         energy = engine_mod.contract_energy(slice_e, lam)
         return pos, vel, energy, ov, dmax
@@ -163,7 +186,7 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     return run
 
 
-def _make_md_step_simple(plan, inv_m, dt, dtype, block_size, bond_forces,
+def _make_md_step_simple(plan, integrate, dt, dtype, block_size, bond_forces,
                          cell_capacity, lam_source):
     """Fallback: per-step rebuild via the generic engine (small / nonperiodic
     systems where the fused slot engine does not apply)."""
@@ -177,8 +200,7 @@ def _make_md_step_simple(plan, inv_m, dt, dtype, block_size, bond_forces,
             _, forces = compute(pos, box, gvals, data)
             if bond_forces is not None:
                 forces = forces + bond_forces(pos)
-            vel = vel + dt * forces * inv_m
-            pos = pos + dt * vel
+            pos, vel = integrate(pos, vel, forces)
             return (pos, vel), None
 
         (pos, vel), _ = jax.lax.scan(step, (pos, vel), None, length=n_steps)

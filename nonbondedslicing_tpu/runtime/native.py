@@ -18,8 +18,8 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "nbs_native.cpp")
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "nbs_native.cpp")
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_nbs_native.so")
 
 

@@ -1,0 +1,78 @@
+"""M-SHAKE / RATTLE constraint projector unit tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nonbondedslicing_tpu.runtime.constraints import make_constrainer
+
+D_OH = 0.09572
+D_HH = 0.15139
+
+
+def _waters(n_mol, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((3 * n_mol, 3))
+    pairs = []
+    dists = []
+    masses = np.tile([15.999, 1.008, 1.008], n_mol)
+    for k in range(n_mol):
+        o = 3 * k
+        center = rng.random(3) * 3.0
+        # exact rigid geometry, randomly oriented
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        perp = np.cross(axis, rng.normal(size=3))
+        perp /= np.linalg.norm(perp)
+        half = D_HH / 2
+        h = np.sqrt(D_OH ** 2 - half ** 2)
+        pos[o] = center
+        pos[o + 1] = center + h * axis + half * perp
+        pos[o + 2] = center + h * axis - half * perp
+        pairs.append([[o, o + 1], [o, o + 2], [o + 1, o + 2]])
+        dists.append([D_OH, D_OH, D_HH])
+    return pos, np.asarray(pairs), np.asarray(dists), masses
+
+
+def test_positions_restored_to_constraints():
+    pos0, pairs, dists, masses = _waters(40)
+    proj_x, proj_v = make_constrainer(pairs, dists, masses, len(masses),
+                                      dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    pos1 = pos0 + rng.normal(scale=0.004, size=pos0.shape)  # ~ a 2 fs kick
+    pos_c = np.asarray(proj_x(jnp.asarray(pos0), jnp.asarray(pos1)))
+    i = pairs[..., 0].reshape(-1)
+    j = pairs[..., 1].reshape(-1)
+    d = np.linalg.norm(pos_c[i] - pos_c[j], axis=-1)
+    np.testing.assert_allclose(d, dists.reshape(-1), rtol=1e-8)
+    # the correction must be small (projection, not a jump)
+    assert np.max(np.abs(pos_c - pos1)) < 0.02
+
+
+def test_position_projection_conserves_momentum():
+    pos0, pairs, dists, masses = _waters(10, seed=3)
+    proj_x, _ = make_constrainer(pairs, dists, masses, len(masses),
+                                 dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    pos1 = pos0 + rng.normal(scale=0.003, size=pos0.shape)
+    pos_c = np.asarray(proj_x(jnp.asarray(pos0), jnp.asarray(pos1)))
+    p_before = (masses[:, None] * pos1).sum(0)
+    p_after = (masses[:, None] * pos_c).sum(0)
+    np.testing.assert_allclose(p_after, p_before, atol=1e-10)
+
+
+def test_velocities_projected_off_constraints():
+    pos0, pairs, dists, masses = _waters(25, seed=5)
+    _, proj_v = make_constrainer(pairs, dists, masses, len(masses),
+                                 dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    vel = rng.normal(scale=1.5, size=pos0.shape)
+    vel_c = np.asarray(proj_v(jnp.asarray(pos0), jnp.asarray(vel)))
+    i = pairs[..., 0].reshape(-1)
+    j = pairs[..., 1].reshape(-1)
+    r = pos0[i] - pos0[j]
+    proj = np.sum(r * (vel_c[i] - vel_c[j]), axis=-1)
+    scale = np.abs(np.sum(r * (vel[i] - vel[j]), axis=-1)).max()
+    assert np.max(np.abs(proj)) < 1e-10 * max(scale, 1.0)
+    # momentum conserved
+    np.testing.assert_allclose((masses[:, None] * vel_c).sum(0),
+                               (masses[:, None] * vel).sum(0), atol=1e-10)
