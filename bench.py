@@ -128,12 +128,14 @@ def main():
     # (native C++ occupancy scan + 25% fluctuation margin)
     from nonbondedslicing_tpu.ops.neighbors import choose_cell_grid
     from nonbondedslicing_tpu.runtime import native
+    from nonbondedslicing_tpu.runtime.fastpath import DEFAULT_SKIN
     cell_capacity = None
-    cfg = choose_cell_grid(plan.box0, plan.cutoff, n)
+    cfg = choose_cell_grid(plan.box0, plan.cutoff, n,
+                           target_skin=DEFAULT_SKIN)
     if cfg is not None:
         occ = native.max_cell_occupancy(positions, plan.box0, cfg[0])
-        # must cover the initial occupancy; +4 margin for drift between cells
-        cell_capacity = max(8, int(np.ceil((occ + 4) / 4) * 4))
+        # must cover the initial occupancy; +6 margin for drift between cells
+        cell_capacity = max(8, int(np.ceil((occ + 6) / 4) * 4))
 
     reuse = int(os.environ.get("NBS_REUSE", "10"))
 

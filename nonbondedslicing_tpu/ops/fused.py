@@ -54,14 +54,15 @@ def _brick_counts(counts):
     return tuple(out)
 
 
-def fused_config(plan, cell_capacity=None):
+def fused_config(plan, cell_capacity=None, target_skin=0.0):
     """Static sizing for the fused engine, or None when not applicable
     (non-periodic / too coarse a box for a cell list)."""
     if plan.box0 is None or plan.method in (NonbondedForce.NoCutoff,
                                             NonbondedForce.CutoffNonPeriodic):
         return None
     cfg = neighbors.choose_cell_grid(plan.box0, plan.cutoff,
-                                     plan.num_particles)
+                                     plan.num_particles,
+                                     target_skin=target_skin)
     if cfg is None:
         return None
     counts, capacity = cfg
@@ -112,14 +113,14 @@ def _bricks_to_cells(x, counts, bricks):
 
 
 def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
-                      interpret=False):
+                      interpret=False, target_skin=0.0):
     """Build (prepare, apply, config) for the fused TPU engine.
 
     prepare(positions, box, gvals, data) -> state
     apply(positions, box, gvals, data, state)
         -> (slice_energies (S, 2), forces (N, 3), aux)
     """
-    cfg = fused_config(plan, cell_capacity)
+    cfg = fused_config(plan, cell_capacity, target_skin=target_skin)
     if cfg is None:
         return None
     method = plan.method

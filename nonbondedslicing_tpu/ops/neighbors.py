@@ -48,11 +48,20 @@ def _perpendicular_widths(box):
     return 1.0 / np.linalg.norm(recip, axis=1)
 
 
-def choose_cell_grid(box, cutoff, num_particles, max_cells=262144):
+def choose_cell_grid(box, cutoff, num_particles, max_cells=262144,
+                     target_skin=0.0):
     """Static cell-grid configuration (counts, capacity) or None if a cell
-    list is not applicable (too few cells per axis)."""
+    list is not applicable (too few cells per axis).
+
+    ``target_skin`` sizes cells from cutoff+skin so MD callers can reuse the
+    cell assignment across steps (Verlet-list style); falls back to
+    skin-less sizing when the box is too small for it.
+    """
     widths = _perpendicular_widths(box)
-    counts = np.maximum(np.floor(widths / cutoff).astype(int), 1)
+    counts = np.maximum(np.floor(widths / (cutoff + target_skin)).astype(int),
+                        1)
+    if target_skin > 0.0 and np.any(counts < 3):
+        counts = np.maximum(np.floor(widths / cutoff).astype(int), 1)
     if np.any(counts < 3):
         return None
     while int(np.prod(counts)) > max_cells:

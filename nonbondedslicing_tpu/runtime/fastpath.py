@@ -61,9 +61,13 @@ def _bond_forces_fn(bonds, n, dtype, periodic=False, box=None):
     return bond_forces
 
 
+DEFAULT_SKIN = 0.1  # nm — Verlet-list style cell oversizing for MD reuse
+
+
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                  bonds=None, cell_capacity=None, reuse_steps=None,
-                 interpret=None, bonds_periodic=False, constraints=None):
+                 interpret=None, bonds_periodic=False, constraints=None,
+                 target_skin=DEFAULT_SKIN):
     """Returns run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy).
 
     Leapfrog Verlet: v += dt*F/m; x += dt*v.  ``bonds`` is an optional
@@ -79,7 +83,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     eng = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
-                                      hoist_eterm=True, interpret=interpret)
+                                      hoist_eterm=True, interpret=interpret,
+                                      target_skin=target_skin)
     n = plan.num_particles
     inv_m = jnp.asarray(
         np.where(np.asarray(masses) > 0,
