@@ -169,6 +169,24 @@ def main():
     jax.block_until_ready(pos1)
     compile_time = time.time() - t0
 
+    # equilibrate: the jittered lattice start converts strain into heat;
+    # rescale velocities to 300 K between warmup chunks so the measured
+    # regime is ordinary liquid water, not a superheated gas
+    kB = 8.31446261815324e-3
+    n_dof = 3 * n - (3 * N_MOLECULES if RIGID else 0) - 3
+
+    def rescale(vel):
+        v = np.asarray(vel, dtype=np.float64)
+        ke = 0.5 * float(np.sum(masses[:, None] * v * v))
+        t_now = 2.0 * ke / (kB * n_dof)
+        return jnp.asarray(v * np.sqrt(300.0 / max(t_now, 1e-6)), dtype), t_now
+
+    for _ in range(3):
+        vel1, t_now = rescale(vel1)
+        print(f"# equilibration chunk: T was {t_now:.0f} K", file=sys.stderr)
+        pos1, vel1, energy = run(pos1, vel1, box_arr, gvals, data,
+                                 STEPS_MEASURE)
+
     t0 = time.time()
     pos2, vel2, energy = run(pos1, vel1, box_arr, gvals, data, STEPS_MEASURE)
     jax.block_until_ready(pos2)

@@ -276,28 +276,29 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             slice_energies = slice_energies.at[:, COUL].add(w * qi * qj * factor)
 
         if is_pme:
+            from . import pallas_pme
             bricks = cfg["bricks"]
             pos_b = _cells_to_bricks(pos_fm, counts, bricks)
             feat_b = _cells_to_bricks(sfeat, counts, bricks)
             q_b = feat_b[:, 0, :]
             soh_b = feat_b[:, 3:3 + nsub, :]
-            e_k, f_kb = pme_bricks.pme_reciprocal_bricks(
+            e_k, f_kb = pallas_pme.pme_reciprocal_pallas(
                 pos_b, q_b, soh_b, box, lam_c, alpha=plan.ewald_alpha,
                 grid_shape=cfg["pme_grid"], moduli=cfg["pme_moduli"],
-                counts=bricks, slice_subset_pairs=slice_pairs,
-                slice_table=slice_table,
+                bricks=bricks, slice_subset_pairs=slice_pairs,
+                slice_table=slice_table, interpret=interpret,
                 eterm=(None if eterm0 is None else eterm0.astype(dtype)))
             slice_energies = slice_energies.at[:, COUL].add(e_k)
             slot_f = slot_f + _bricks_to_cells(f_kb, counts, bricks)
             if method == NonbondedForce.LJPME:
                 c6_b = 8.0 * feat_b[:, 1, :] ** 3 * feat_b[:, 2, :]
-                e_d, f_db = pme_bricks.pme_reciprocal_bricks(
+                e_d, f_db = pallas_pme.pme_reciprocal_pallas(
                     pos_b, c6_b, soh_b, box, lam_v,
                     alpha=plan.dispersion_alpha,
                     grid_shape=cfg["dispersion_grid"],
-                    moduli=cfg["dpme_moduli"], counts=bricks,
+                    moduli=cfg["dpme_moduli"], bricks=bricks,
                     slice_subset_pairs=slice_pairs, slice_table=slice_table,
-                    dispersion=True,
+                    dispersion=True, interpret=interpret,
                     eterm=(None if dterm0 is None else dterm0.astype(dtype)))
                 slice_energies = slice_energies.at[:, VDW].add(e_d)
                 slot_f = slot_f + _bricks_to_cells(f_db, counts, bricks)

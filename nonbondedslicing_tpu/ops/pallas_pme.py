@@ -1,0 +1,279 @@
+"""Pallas fused PME spread / interpolation kernels (brick windows).
+
+The XLA brick path (ops/pme_bricks.py) materializes per-brick B-spline plane
+tensors in HBM — ~0.5 GB of intermediates per step at the 23k-atom scale.
+These kernels fuse the whole per-brick pipeline in VMEM: fractional
+coordinates -> order-5 B-splines -> local window spline matrices ->
+MXU contractions, one brick per grid step.  Only the window tensors
+(bricks, s*wx, wy*wz) touch HBM; window<->grid assembly stays in XLA
+(pme_bricks.scatter_windows / gather_windows — dense roll-adds).
+
+Math identical to pme_bricks.spread_bricks / interp_bricks (which remain the
+oracle in tests); reference pipeline: ReferencePME.cpp:320-396 (spread),
+598-702 (interpolation), with per-subset grids and the lambda-combined
+interpolation grid of the sliced formulation (kernels/pme.cc:356-371).
+All in-kernel tensors are kept >= 2D with the long atom axis in lanes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pme
+from .geometry import recip_box_vectors
+from .pme_bricks import brick_window
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _bspline_lists(frac, order):
+    """Order-`order` B-spline values/derivatives at fractional offsets as
+    LISTS of (1, C) rows (avoids 3D stacks in Mosaic).  Same recursions as
+    pme.bsplines (ReferencePME.cpp:264-317)."""
+    zero = jnp.zeros_like(frac)
+    data = [zero] * order
+    data[1] = frac
+    data[0] = 1.0 - frac
+    for k in range(3, order):
+        div = 1.0 / (k - 1)
+        data[k - 1] = div * frac * data[k - 2]
+        for l in range(1, k - 1):
+            data[k - l - 1] = div * ((frac + l) * data[k - l - 2]
+                                     + (k - l - frac) * data[k - l - 1])
+        data[0] = div * (1.0 - frac) * data[0]
+    ddata = [zero] * order
+    ddata[0] = -data[0]
+    for k in range(1, order):
+        ddata[k] = data[k - 1] - data[k]
+    div = 1.0 / (order - 1)
+    data[order - 1] = div * frac * data[order - 2]
+    for l in range(1, order - 1):
+        data[order - l - 1] = div * ((frac + l) * data[order - l - 2]
+                                     + (order - l - frac) * data[order - l - 1])
+    data[0] = div * (1.0 - frac) * data[0]
+    return data, ddata
+
+
+def _axis_splines(pos_ref, recip_ref, axis, grid_n, brick_p, brick_coord,
+                  order, dtype):
+    """(theta list, dtheta list, rel (1, C)) for one axis."""
+    f = (pos_ref[0:1] * recip_ref[0, axis]
+         + pos_ref[1:2] * recip_ref[1, axis]
+         + pos_ref[2:3] * recip_ref[2, axis])          # (1, C)
+    t = (f - jnp.floor(f)) * jnp.asarray(float(grid_n), dtype)
+    ti = jnp.floor(t)
+    frac = t - ti
+    theta, dtheta = _bspline_lists(frac, order)
+    start = brick_coord * brick_p - 1
+    rel = jnp.remainder(ti.astype(jnp.int32) - start, jnp.int32(grid_n))
+    return theta, dtheta, rel
+
+
+def _axis_T(rel, theta_list, w, order, dtype):
+    """(w, C) dense local spline matrix by masked accumulation.
+    rel: (1, C) int32; theta_list: order entries of (1, C)."""
+    c = rel.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
+    T = jnp.zeros((w, c), dtype)
+    for k in range(order):
+        T = T + jnp.where(rows == rel + k, theta_list[k], 0.0)
+    return T
+
+
+def make_spread_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
+    """f(pos_b (g,3,C), qoh_b (g,nsub,C), recip (3,3)) ->
+    windows (g, nsub*wx, wy*wz)."""
+    (px, wx), (py, wy), (pz, wz) = brick_window(grid_shape, bricks, order)
+    g = bricks[0] * bricks[1] * bricks[2]
+    nby, nbz = bricks[1], bricks[2]
+
+    def kernel(recip_ref, pos_ref, qoh_ref, out_ref):
+        dtype = pos_ref.dtype
+        i = pl.program_id(0)
+        bz = jax.lax.rem(i, nbz)
+        by = jax.lax.rem(jax.lax.div(i, nbz), nby)
+        bx = jax.lax.div(i, nbz * nby)
+        pos = pos_ref[0]
+        thx, _, relx = _axis_splines(pos, recip_ref, 0, grid_shape[0], px,
+                                     bx, order, dtype)
+        thy, _, rely = _axis_splines(pos, recip_ref, 1, grid_shape[1], py,
+                                     by, order, dtype)
+        thz, _, relz = _axis_splines(pos, recip_ref, 2, grid_shape[2], pz,
+                                     bz, order, dtype)
+        tx = _axis_T(relx, thx, wx, order, dtype)      # (wx, C)
+        ty = _axis_T(rely, thy, wy, order, dtype)
+        tz = _axis_T(relz, thz, wz, order, dtype)
+        qoh = qoh_ref[0]                               # (nsub, C)
+        A = (qoh[:, None, :] * tx[None, :, :]).reshape(nsub * wx, -1)
+        B = (ty[:, None, :] * tz[None, :, :]).reshape(wy * wz, -1)
+        out_ref[0] = jax.lax.dot_general(
+            A, B, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype, precision=_PREC)
+
+    def run(pos_b, qoh_b, recip):
+        dtype = pos_b.dtype
+        cap = pos_b.shape[2]
+        # Mosaic cannot legalize i64 index-map constants from x64 mode
+        import contextlib
+        x64_off = (jax.enable_x64(False) if hasattr(jax, "enable_x64")
+                   else contextlib.nullcontext())
+        with x64_off:
+            return _call(dtype, cap, pos_b, qoh_b, recip)
+
+    def _call(dtype, cap, pos_b, qoh_b, recip):
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # recip (3,3)
+                pl.BlockSpec((1, 3, cap), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nsub, cap), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nsub * wx, wy * wz),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, nsub * wx, wy * wz), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(recip.astype(dtype), pos_b, qoh_b)
+
+    return run
+
+
+def make_interp_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
+    """f(windows (g, nsub*wx, wy*wz), pos_b (g,3,C), soh_b (g,nsub,C),
+    q_b (g,1,C), recip) -> forces feature-major (g, 3, C)."""
+    (px, wx), (py, wy), (pz, wz) = brick_window(grid_shape, bricks, order)
+    g = bricks[0] * bricks[1] * bricks[2]
+    nby, nbz = bricks[1], bricks[2]
+    nx, ny, nz = grid_shape
+
+    def kernel(recip_ref, w_ref, pos_ref, soh_ref, q_ref, out_ref):
+        dtype = pos_ref.dtype
+        i = pl.program_id(0)
+        bz = jax.lax.rem(i, nbz)
+        by = jax.lax.rem(jax.lax.div(i, nbz), nby)
+        bx = jax.lax.div(i, nbz * nby)
+        pos = pos_ref[0]
+        thx, dthx, relx = _axis_splines(pos, recip_ref, 0, nx, px, bx,
+                                        order, dtype)
+        thy, dthy, rely = _axis_splines(pos, recip_ref, 1, ny, py, by,
+                                        order, dtype)
+        thz, dthz, relz = _axis_splines(pos, recip_ref, 2, nz, pz, bz,
+                                        order, dtype)
+        tx = _axis_T(relx, thx, wx, order, dtype)
+        ty = _axis_T(rely, thy, wy, order, dtype)
+        tz = _axis_T(relz, thz, wz, order, dtype)
+        dtx = _axis_T(relx, dthx, wx, order, dtype)
+        dty = _axis_T(rely, dthy, wy, order, dtype)
+        dtz = _axis_T(relz, dthz, wz, order, dtype)
+        soh = soh_ref[0]                      # (nsub, C)
+        W = w_ref[0]                          # (nsub*wx, wy*wz)
+
+        def contract(By, Bz, Tx):
+            B = (By[:, None, :] * Bz[None, :, :]).reshape(wy * wz, -1)
+            P = jax.lax.dot_general(
+                W, B, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=_PREC)  # (s*wx, C)
+            S = (soh[:, None, :] * Tx[None, :, :]).reshape(nsub * wx, -1)
+            return jnp.sum(S * P, axis=0, keepdims=True)        # (1, C)
+
+        fx = contract(ty, tz, dtx)
+        fy = contract(dty, tz, tx)
+        fz = contract(ty, dtz, tx)
+        q = q_ref[0]                           # (1, C)
+        r = recip_ref
+        f0 = -q * (fx * nx * r[0, 0])
+        f1 = -q * (fx * nx * r[1, 0] + fy * ny * r[1, 1])
+        f2 = -q * (fx * nx * r[2, 0] + fy * ny * r[2, 1]
+                   + fz * nz * r[2, 2])
+        out_ref[0] = jnp.concatenate([f0, f1, f2], axis=0)
+
+    def run(windows, pos_b, soh_b, q_b, recip):
+        dtype = pos_b.dtype
+        cap = pos_b.shape[2]
+        import contextlib
+        x64_off = (jax.enable_x64(False) if hasattr(jax, "enable_x64")
+                   else contextlib.nullcontext())
+        with x64_off:
+            return _call(dtype, cap, windows, pos_b, soh_b, q_b, recip)
+
+    def _call(dtype, cap, windows, pos_b, soh_b, q_b, recip):
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # recip
+                pl.BlockSpec((1, nsub * wx, wy * wz), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, cap), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nsub, cap), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cap), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 3, cap), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, 3, cap), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(recip.astype(dtype), windows, pos_b, soh_b, q_b)
+
+    return run
+
+
+def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
+                          moduli, bricks, slice_subset_pairs, slice_table,
+                          dispersion=False, order=5, eterm=None,
+                          interpret=False, _cache={}):
+    """pme_bricks.pme_reciprocal_bricks with Pallas spread/interp stages.
+
+    pos_b/q_b/soh_b are brick-major slot tensors (g_bricks, ., C_brick);
+    returns (slice_energies (S,), forces (g_bricks, C_brick, 3)).
+    """
+    from . import pme_bricks
+    dtype = pos_b.dtype
+    nsub = soh_b.shape[1]
+    nz = grid_shape[2]
+    key = (grid_shape, bricks, nsub, order, interpret)
+    if key not in _cache:
+        _cache[key] = (
+            make_spread_kernel(grid_shape=grid_shape, bricks=bricks,
+                               nsub=nsub, order=order, interpret=interpret),
+            make_interp_kernel(grid_shape=grid_shape, bricks=bricks,
+                               nsub=nsub, order=order, interpret=interpret))
+    spread_k, interp_k = _cache[key]
+
+    recip = recip_box_vectors(box)
+    qoh = soh_b * q_b[:, None, :]
+    g = bricks[0] * bricks[1] * bricks[2]
+    (px, wx), (py, wy), (pz, wz) = brick_window(grid_shape, bricks, order)
+    windows = spread_k(pos_b, qoh, recip)
+    grid = pme_bricks.scatter_windows(
+        windows.reshape(g, nsub, wx, wy * wz), bricks, grid_shape)
+
+    if eterm is None:
+        if dispersion:
+            eterm = pme.dispersion_eterm(grid_shape, moduli, box, recip,
+                                         alpha, dtype, half=True)
+        else:
+            eterm = pme.coulomb_eterm(grid_shape, moduli, box, recip, alpha,
+                                      dtype, half=True)
+    w = pme.rfft_energy_weights(nz, dtype)
+    s_re, s_im = pme.rfft3_matmul(grid)
+    slice_energies = pme.pme_slice_energies_ri(
+        s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+    phi = pme.irfft3_matmul(s_re * eterm[None], s_im * eterm[None], grid_shape)
+    lam_nn = lam_s[jnp.asarray(slice_table)]
+    combined = jnp.einsum("st,txyz->sxyz", lam_nn, phi)
+    win_phi = pme_bricks.gather_windows(combined, bricks)
+    forces_fm = interp_k(win_phi.reshape(g, nsub * wx, wy * wz), pos_b,
+                         soh_b, q_b[:, None, :], recip)
+    return slice_energies, jnp.swapaxes(forces_fm, 1, 2)

@@ -1,0 +1,54 @@
+"""Pallas fused PME spread/interp vs the XLA brick oracle (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nonbondedslicing_tpu.ops import neighbors, pme, pme_bricks, pallas_pme
+from nonbondedslicing_tpu.utils.indexing import slice_pair_table, slice_subsets
+
+
+def test_pallas_pme_matches_brick_oracle():
+    rng = np.random.default_rng(12)
+    n, nsub = 500, 3
+    box = 4.2
+    bricks = (2, 2, 2)
+    grid_shape = (16, 16, 16)
+    capacity = 96  # per-brick capacity
+    box_arr = jnp.asarray(np.diag([box] * 3), jnp.float32)
+    positions = jnp.asarray(rng.random((n, 3)) * box, jnp.float32)
+    charge = jnp.asarray(rng.normal(size=n), jnp.float32)
+    subsets = jnp.asarray(rng.integers(0, nsub, n), dtype=jnp.int32)
+    alpha = 2.8
+    moduli = pme.bspline_moduli(grid_shape)
+    spairs = jnp.asarray(slice_subsets(nsub))
+    sl_tab = slice_pair_table(nsub).astype(np.int32)
+    lam = jnp.asarray(rng.random(6), jnp.float32)
+
+    # brick-major slot tensors
+    cell = neighbors.cell_ids(positions, box_arr, bricks)
+    table, ov = neighbors.build_occupancy(cell, n, bricks, capacity)
+    assert int(ov) == 0
+    slots = table.reshape(-1)
+    g = bricks[0] * bricks[1] * bricks[2]
+    pos_p = jnp.concatenate([positions, jnp.zeros((1, 3), jnp.float32)])
+    q_p = jnp.concatenate([charge, jnp.zeros((1,), jnp.float32)])
+    sub_p = jnp.concatenate([subsets, jnp.full((1,), nsub, jnp.int32)])
+    pos_b = pos_p[slots].reshape(g, capacity, 3).swapaxes(1, 2)
+    q_b = q_p[slots].reshape(g, capacity)
+    soh_b = (sub_p[slots][:, None] == jnp.arange(nsub, dtype=jnp.int32)
+             ).astype(jnp.float32).reshape(g, capacity, nsub).swapaxes(1, 2)
+
+    e_o, f_o = pme_bricks.pme_reciprocal_bricks(
+        pos_b, q_b, soh_b, box_arr, lam, alpha=alpha, grid_shape=grid_shape,
+        moduli=moduli, counts=bricks, slice_subset_pairs=spairs,
+        slice_table=sl_tab)
+    e_p, f_p = pallas_pme.pme_reciprocal_pallas(
+        pos_b, q_b, soh_b, box_arr, lam, alpha=alpha, grid_shape=grid_shape,
+        moduli=moduli, bricks=bricks, slice_subset_pairs=spairs,
+        slice_table=sl_tab, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_o),
+                               rtol=2e-5)
+    scale = float(jnp.max(jnp.abs(f_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_o),
+                               atol=2e-5 * scale)
