@@ -35,8 +35,10 @@ def build_system():
 
     n_mol = N_MOLECULES
     n_atoms = 3 * n_mol
-    # box sized for ~33 atoms/nm^3 (water density)
-    box = float(np.cbrt(n_atoms / 33.4))
+    # box sized for liquid-water density: ~33.4 MOLECULES/nm^3 = 100 atoms/nm^3
+    # (round 1 used 33.4 atoms/nm^3 — 3x too dilute, which phase-separates
+    # into liquid clusters + vapor pockets during equilibration)
+    box = float(np.cbrt(n_atoms / 100.2))
     rng = np.random.default_rng(42)
 
     force = nbs.SlicedNonbondedForce(3)
@@ -54,6 +56,9 @@ def build_system():
     spacing = box / m
     qO, qH = -0.834, 0.417
     sigO, epsO = 0.3151, 0.6364
+    # CHARMM-TIP3P-style hydrogen LJ: a bare eps=0 hydrogen has no repulsion
+    # and hot H...O contacts collapse into clusters during equilibration
+    sigH, epsH = 0.04, 0.192
     for k in range(n_mol):
         iz, r = divmod(k, m * m)
         iy, ix = divmod(r, m)
@@ -62,17 +67,23 @@ def build_system():
         system.addParticle(1.008)
         system.addParticle(1.008)
         force.addParticle(qO, sigO, epsO)
-        force.addParticle(qH, 0.1, 0.0)
-        force.addParticle(qH, 0.1, 0.0)
+        force.addParticle(qH, sigH, epsH)
+        force.addParticle(qH, sigH, epsH)
         o = 3 * k
         # small jitter decorrelates molecules from the lattice without
-        # creating steric clashes (clashes blow the system up within a few
-        # steps and trip the skin guard)
+        # creating steric clashes, and random orientations avoid the
+        # ferroelectric all-parallel-dipole start (aligned dipoles drive
+        # H->O collisions during relaxation)
         center = center + rng.uniform(-0.06, 0.06, 3) * spacing
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        perp = np.cross(axis, rng.normal(size=3))
+        perp /= np.linalg.norm(perp)
+        half = D_HH / 2
+        h = np.sqrt(D_OH ** 2 - half ** 2)
         positions[o] = center
-        positions[o + 1] = center + (0.09572, 0, 0)
-        positions[o + 2] = center + (-0.0239, 0.0927, 0)
-        positions[o:o + 3] += rng.normal(scale=0.004, size=(3, 3))
+        positions[o + 1] = center + h * axis + half * perp
+        positions[o + 2] = center + h * axis - half * perp
         force.addException(o, o + 1, 0, 1, 0)
         force.addException(o, o + 2, 0, 1, 0)
         force.addException(o + 1, o + 2, 0, 1, 0)
@@ -109,6 +120,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated bench runs skip the multi-minute
+    # XLA/Mosaic compile of the fused MD step
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_nbs"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import nonbondedslicing_tpu as nbs
     from nonbondedslicing_tpu.ops import engine as engine_mod
     from nonbondedslicing_tpu.ops import plan as plan_mod
@@ -137,7 +157,7 @@ def main():
         # must cover the initial occupancy; +6 margin for drift between cells
         cell_capacity = max(8, int(np.ceil((occ + 6) / 4) * 4))
 
-    reuse = int(os.environ.get("NBS_REUSE", "10"))
+    reuse = (int(os.environ["NBS_REUSE"]) if "NBS_REUSE" in os.environ else None)
 
     box_arr = jnp.asarray(np.diag([box, box, box]), dtype)
     gvals = jnp.asarray([1.0, 1.0], dtype)
@@ -148,49 +168,103 @@ def main():
     # (n_steps is a static argument; a different count would recompile).
     # The lattice start runs hot; if the skin guard trips during warmup,
     # halve the neighbor-reuse interval and retry.
-    t0 = time.time()
-    while True:
-        run = make_md_step(plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds,
-                           cell_capacity=cell_capacity, reuse_steps=reuse,
-                           constraints=constraints)
-        try:
-            # fresh arrays each attempt: run donates pos/vel buffers
-            pos = jnp.asarray(positions, dtype)
-            vel = jnp.zeros_like(pos)
-            pos1, vel1, energy = run(pos, vel, box_arr, gvals, data,
-                                     STEPS_MEASURE)
-            break
-        except nbs.OpenMMException as exc:
-            if "skin violation" not in str(exc) or reuse == 1:
-                raise
-            reuse = max(1, reuse // 2)
-            print(f"# skin guard tripped during warmup; retrying with "
-                  f"reuse_steps={reuse}", file=sys.stderr)
-    jax.block_until_ready(pos1)
-    compile_time = time.time() - t0
+    state = {"run": None, "reuse": reuse, "capacity": cell_capacity}
 
-    # equilibrate: the jittered lattice start converts strain into heat;
-    # rescale velocities to 300 K between warmup chunks so the measured
-    # regime is ordinary liquid water, not a superheated gas
+    def run_chunk(pos_np, vel_np):
+        """One STEPS_MEASURE chunk with skin/overflow-guard retries (host
+        state kept — run() donates its device buffers)."""
+        while True:
+            if state["run"] is None:
+                state["run"] = make_md_step(
+                    plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds,
+                    cell_capacity=state["capacity"],
+                    reuse_steps=state["reuse"], constraints=constraints)
+                state["reuse"] = state["run"].config["reuse_steps"]
+            try:
+                p, v, e = state["run"](jnp.asarray(pos_np, dtype),
+                                       jnp.asarray(vel_np, dtype),
+                                       box_arr, gvals, data, STEPS_MEASURE)
+                return (np.asarray(p, dtype=np.float64),
+                        np.asarray(v, dtype=np.float64), e)
+            except nbs.OpenMMException as exc:
+                if "capacity overflow" in str(exc):
+                    state["capacity"] += 8
+                    state["run"] = None
+                    print(f"# capacity overflow; retrying with "
+                          f"capacity={state['capacity']}", file=sys.stderr)
+                elif "skin violation" in str(exc) and state["reuse"] > 1:
+                    state["reuse"] = max(1, state["reuse"] // 2)
+                    state["run"] = None
+                    print(f"# skin guard tripped; retrying with "
+                          f"reuse_steps={state['reuse']}", file=sys.stderr)
+                else:
+                    raise
+
+    # a pre-equilibrated 300 K configuration (extras/make_bench_state.py)
+    # makes the measurement deterministic and skips equilibration chunks
+    state_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "extras",
+                              "bench_state_rigid.npz" if RIGID
+                              else "bench_state_flexible.npz")
     kB = 8.31446261815324e-3
     n_dof = 3 * n - (3 * N_MOLECULES if RIGID else 0) - 3
+    if os.path.exists(state_file) and os.environ.get("NBS_EQUILIBRATE") != "1":
+        blob = np.load(state_file)
+        pos_np = blob["positions"]
+        vel_np = blob["velocities"]
+        # size the capacity from the EQUILIBRATED density, not the lattice
+        occ = native.max_cell_occupancy(pos_np, plan.box0, cfg[0])
+        state["capacity"] = max(8, int(np.ceil((occ + 8) / 4) * 4))
+        t0 = time.time()
+        pos_np, vel_np, energy = run_chunk(pos_np, vel_np)
+        compile_time = time.time() - t0
+    else:
+        t0 = time.time()
+        if os.path.exists(state_file):
+            # continue equilibrating from the saved state
+            blob = np.load(state_file)
+            pos_np = np.array(blob["positions"])
+            vel_np = np.array(blob["velocities"])
+            occ = native.max_cell_occupancy(pos_np, plan.box0, cfg[0])
+            state["capacity"] = max(8, int(np.ceil((occ + 8) / 4) * 4))
+        else:
+            pos_np = np.asarray(positions, dtype=np.float64)
+            vel_np = np.zeros_like(pos_np)
+        pos_np, vel_np, energy = run_chunk(pos_np, vel_np)
+        compile_time = time.time() - t0
+        # equilibrate: the jittered lattice start converts strain into heat;
+        # rescale velocities to 300 K between chunks so the measured regime
+        # is ordinary liquid water, not a superheated gas
+        for _ in range(int(os.environ.get("NBS_EQUIL_CHUNKS", "3"))):
+            ke = 0.5 * float(np.sum(masses[:, None] * vel_np * vel_np))
+            t_now = 2.0 * ke / (kB * n_dof)
+            print(f"# equilibration chunk: T was {t_now:.0f} K",
+                  file=sys.stderr)
+            vel_np = vel_np * np.sqrt(300.0 / max(t_now, 1e-6))
+            pos_np, vel_np, energy = run_chunk(pos_np, vel_np)
+        if os.environ.get("NBS_SAVE_STATE") == "1":
+            ke = 0.5 * float(np.sum(masses[:, None] * vel_np * vel_np))
+            t_now = 2.0 * ke / (kB * n_dof)
+            vel_np = vel_np * np.sqrt(300.0 / max(t_now, 1e-6))
+            np.savez_compressed(state_file, positions=pos_np,
+                                velocities=vel_np)
+            print(f"# saved equilibrated state to {state_file}",
+                  file=sys.stderr)
 
-    def rescale(vel):
-        v = np.asarray(vel, dtype=np.float64)
-        ke = 0.5 * float(np.sum(masses[:, None] * v * v))
-        t_now = 2.0 * ke / (kB * n_dof)
-        return jnp.asarray(v * np.sqrt(300.0 / max(t_now, 1e-6)), dtype), t_now
-
-    for _ in range(3):
-        vel1, t_now = rescale(vel1)
-        print(f"# equilibration chunk: T was {t_now:.0f} K", file=sys.stderr)
-        pos1, vel1, energy = run(pos1, vel1, box_arr, gvals, data,
-                                 STEPS_MEASURE)
-
-    t0 = time.time()
-    pos2, vel2, energy = run(pos1, vel1, box_arr, gvals, data, STEPS_MEASURE)
-    jax.block_until_ready(pos2)
-    elapsed = time.time() - t0
+    # measured chunk (run_chunk keeps the guard-retry safety net; the host
+    # round trip it adds is one transfer per 100 steps). If a guard retry
+    # forced a recompile inside the timed block, re-measure.
+    while True:
+        run_before = state["run"]
+        t0 = time.time()
+        pos2_np, vel2_np, energy = run_chunk(pos_np, vel_np)
+        elapsed = time.time() - t0
+        if state["run"] is run_before:
+            break
+        pos_np, vel_np = pos2_np, vel2_np
+        print("# guard retry during measurement; re-measuring",
+              file=sys.stderr)
+    run = state["run"]
 
     steps_per_s = STEPS_MEASURE / elapsed
     ns_day = steps_per_s * DT_PS * 86400 / 1000

@@ -449,6 +449,8 @@ class Context:
                                         HarmonicBondForce))]
         if len(sliced) != 1 or others:
             return None
+        if not sliced[0].getIncludeDirectSpace():
+            return None  # the fused step always evaluates direct space
         comp = self._compiled[id(sliced[0])]
         plan = comp.plan
         if comp.dtype != jnp.float32:

@@ -144,13 +144,19 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
     crf = (1.0 / plan.cutoff) * (3.0 * eps_rf) / (2.0 * eps_rf + 1.0)
     mode = direct.EWALD_DIRECT if is_ewald_family else direct.CUTOFF
 
+    import os
+    # fused: erf corrections computed in the pair tiles (extra transcendental
+    # pass over every pair slot); defused: a separate pass over the actual
+    # exclusion pair list (gather/scatter-bound). Tunable for benchmarking.
+    fuse_exclusions = os.environ.get("NBS_FUSE_EXCL", "1") != "0"
     kernel = make_pallas_cell_kernel(
         mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
         nsub=nsub, emax=emax, krf=krf, crf=crf, use_switch=plan.use_switch,
         switch_distance=plan.switch_distance, ewald_alpha=plan.ewald_alpha,
         ljpme=(method == NonbondedForce.LJPME),
         dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
-        exceptions_periodic=plan.exceptions_periodic)
+        exceptions_periodic=plan.exceptions_periodic,
+        fuse_exclusions=fuse_exclusions)
 
     # box-static convolution kernels for the MD fastpath (valid only while
     # the runtime box equals plan.box0 — callers must enforce)
@@ -316,6 +322,18 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             slot_f.reshape(-1, 3))[:n]
         if method == NonbondedForce.Ewald:
             forces = forces + f_k
+
+        if is_ewald_family and not fuse_exclusions:
+            e_x, f_x = bonded.exclusion_corrections(
+                positions, box, data["exclusion_pairs"], charge, sig_half,
+                eps2, subsets, slice_table, lam_c, lam_v,
+                alpha=plan.ewald_alpha,
+                periodic_exceptions=plan.exceptions_periodic,
+                ljpme=(method == NonbondedForce.LJPME),
+                dispersion_alpha=plan.dispersion_alpha,
+                num_slices=nslices, num_particles=n)
+            slice_energies = slice_energies + e_x
+            forces = forces + f_x
 
         # 1-4 exceptions
         sigma14, four_eps14, qq14 = params.nb14_params(data, gvals)

@@ -59,7 +59,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                             krf=0.0, crf=0.0, use_switch=False,
                             switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
                             dispersion_alpha=0.0, interpret=False,
-                            cells_per_tile=None, exceptions_periodic=False):
+                            cells_per_tile=None, exceptions_periodic=False,
+                            fuse_exclusions=True):
     """Build the half-shell tile kernel.
 
     f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
@@ -211,7 +212,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         fxe = zero
         fye = zero
         fze = zero
-        if mode == EWALD_DIRECT:
+        if mode == EWALD_DIRECT and fuse_exclusions:
             # Ewald exclusion corrections fused into the tile: excluded pairs
             # subtract the reciprocal-space erf part (+ LJPME back-out),
             # replacing a separate pass with per-pair scatters

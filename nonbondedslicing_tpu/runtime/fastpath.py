@@ -118,8 +118,11 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     prepare, apply, cfg = eng
     skin = cfg["skin"]
     if reuse_steps is None:
-        reuse_steps = 10 if skin >= 0.03 else 1
-    K = max(1, int(reuse_steps))
+        # steps until a 4 nm/ps atom (≈ the 300 K Maxwell tail of ~16k
+        # hydrogens) covers half the skin; the in-trace guard still verifies
+        v_ref = 4.0
+        reuse_steps = int(0.5 * skin / (dt * v_ref))
+    K = min(25, max(1, int(reuse_steps)))
     disp_limit2 = (0.5 * skin) ** 2 if K > 1 else np.inf
 
     @partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1))

@@ -12,6 +12,12 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:  # persistent compile cache: repeat suite runs skip recompiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_nbs"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
