@@ -45,8 +45,89 @@ def _solve3(A, b):
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
+def _contiguous_triangles(pairs, n_particles):
+    """True if cluster m constrains exactly atoms (3m, 3m+1, 3m+2) as the
+    triangle [[0,1],[0,2],[1,2]] and every particle belongs to one cluster —
+    the rigid-water layout.  Enables the gather/scatter-free dense solver."""
+    m = pairs.shape[0]
+    if n_particles != 3 * m:
+        return False
+    base = 3 * np.arange(m, dtype=pairs.dtype)[:, None, None]
+    expect = base + np.array([[[0, 1], [0, 2], [1, 2]]], dtype=pairs.dtype)
+    return bool(np.array_equal(pairs, expect))
+
+
 def make_constrainer(pairs, dists, masses, n_particles, iterations=12,
                      dtype=jnp.float32):
+    pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
+    if _contiguous_triangles(pairs, n_particles):
+        return _make_dense_triangle_constrainer(pairs, dists, masses,
+                                                iterations, dtype)
+    return _make_gather_constrainer(pairs, dists, masses, iterations, dtype)
+
+
+def _make_dense_triangle_constrainer(pairs, dists, masses, iterations, dtype):
+    """Rigid-triangle clusters over contiguous atom triples: all per-iteration
+    work is dense (n_mol, 3, 3) arithmetic — no gathers or scatters (a
+    scatter-per-SHAKE-iteration costs more than the whole force evaluation
+    on TPU)."""
+    m = pairs.shape[0]
+    d2 = jnp.asarray(np.asarray(dists, dtype=np.float64) ** 2, dtype)  # (M,3)
+    inv_mass = np.where(np.asarray(masses) > 0,
+                        1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0)
+    im = jnp.asarray(inv_mass.reshape(m, 3), dtype)        # per local atom
+    # constraint k connects local atoms (ik, jk)
+    LI = (0, 0, 1)
+    LJ = (1, 2, 2)
+    s = np.zeros((m, 3, 3))
+    inv3 = inv_mass.reshape(m, 3)
+    for k in range(3):
+        for l in range(3):
+            s[:, k, l] = (inv3[:, LI[k]] * ((LI[k] == LI[l]) - (LI[k] == LJ[l]))
+                          - inv3[:, LJ[k]] * ((LJ[k] == LI[l]) - (LJ[k] == LJ[l])))
+    s_mat = jnp.asarray(s, dtype)
+
+    def _rel(pm):
+        # (M, 3 constraints, 3 xyz)
+        return jnp.stack([pm[:, 0] - pm[:, 1], pm[:, 0] - pm[:, 2],
+                          pm[:, 1] - pm[:, 2]], axis=1)
+
+    def _apply(pm, lam, r_dir, scale):
+        # delta for local atom a = -invm_a * sum_k lam_k * scale * (+-r_k)
+        t = (lam * scale)[..., None] * r_dir                # (M, 3, 3)
+        d0 = -(t[:, 0] + t[:, 1]) * im[:, 0, None]
+        d1 = -(-t[:, 0] + t[:, 2]) * im[:, 1, None]
+        d2_ = -(-t[:, 1] - t[:, 2]) * im[:, 2, None]
+        return pm + jnp.stack([d0, d1, d2_], axis=1)
+
+    def project_positions(pos_ref, pos_new):
+        rm = _rel(pos_ref.reshape(m, 3, 3))
+
+        def body(_, pm):
+            rn = _rel(pm)
+            sigma = jnp.sum(rn * rn, axis=-1) - d2
+            dots = jnp.einsum("mkx,mlx->mkl", rn, rm)
+            lam = _solve3(4.0 * s_mat * dots, sigma)
+            return _apply(pm, lam, rm, 2.0)
+
+        out = jax.lax.fori_loop(0, iterations, body,
+                                pos_new.reshape(m, 3, 3))
+        return out.reshape(-1, 3)
+
+    def project_velocities(pos, vel):
+        pm = pos.reshape(m, 3, 3)
+        vm = vel.reshape(m, 3, 3)
+        rn = _rel(pm)
+        vrel = _rel(vm)
+        rhs = jnp.sum(rn * vrel, axis=-1)
+        dots = jnp.einsum("mkx,mlx->mkl", rn, rn)
+        lam = _solve3(s_mat * dots, rhs)
+        return _apply(vm, lam, rn, 1.0).reshape(-1, 3)
+
+    return project_positions, project_velocities
+
+
+def _make_gather_constrainer(pairs, dists, masses, iterations, dtype):
     """Build position/velocity constraint projectors.
 
     pairs: (M, 3, 2) int — per-cluster constraint atom pairs (clusters of

@@ -120,7 +120,7 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     if reuse_steps is None:
         # steps until a 4 nm/ps atom (≈ the 300 K Maxwell tail of ~16k
         # hydrogens) covers half the skin; the in-trace guard still verifies
-        v_ref = 4.0
+        v_ref = 8.0  # ~max-of-20k-hydrogens Maxwell speed at 300 K
         reuse_steps = int(0.5 * skin / (dt * v_ref))
     K = min(25, max(1, int(reuse_steps)))
     disp_limit2 = (0.5 * skin) ** 2 if K > 1 else np.inf

@@ -76,3 +76,23 @@ def test_velocities_projected_off_constraints():
     # momentum conserved
     np.testing.assert_allclose((masses[:, None] * vel_c).sum(0),
                                (masses[:, None] * vel).sum(0), atol=1e-10)
+
+
+def test_gather_path_matches_dense_path():
+    """Non-contiguous cluster indexing must give the same projection as the
+    dense contiguous fast path."""
+    pos0, pairs, dists, masses = _waters(12, seed=7)
+    rng = np.random.default_rng(8)
+    pos1 = pos0 + rng.normal(scale=0.003, size=pos0.shape)
+    proj_dense, _ = make_constrainer(pairs, dists, masses, len(masses),
+                                     dtype=jnp.float64)
+    out_dense = np.asarray(proj_dense(jnp.asarray(pos0), jnp.asarray(pos1)))
+
+    # permute atoms -> generic gather path
+    perm = rng.permutation(len(masses))
+    inv = np.argsort(perm)
+    pairs_p = inv[pairs]
+    proj_g, _ = make_constrainer(pairs_p, dists, masses[perm], len(masses),
+                                 dtype=jnp.float64)
+    out_g = np.asarray(proj_g(jnp.asarray(pos0[perm]), jnp.asarray(pos1[perm])))
+    np.testing.assert_allclose(out_g[inv], out_dense, atol=1e-12)
