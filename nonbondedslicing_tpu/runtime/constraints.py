@@ -66,63 +66,91 @@ def make_constrainer(pairs, dists, masses, n_particles, iterations=12,
     return _make_gather_constrainer(pairs, dists, masses, iterations, dtype)
 
 
+def _solve3_rows(J, b):
+    """Closed-form 3x3 solve with components given as (..., M) lane-major
+    rows: J is a 3x3 nested list, b a list of 3."""
+    c00 = J[1][1] * J[2][2] - J[1][2] * J[2][1]
+    c01 = J[0][2] * J[2][1] - J[0][1] * J[2][2]
+    c02 = J[0][1] * J[1][2] - J[0][2] * J[1][1]
+    c10 = J[1][2] * J[2][0] - J[1][0] * J[2][2]
+    c11 = J[0][0] * J[2][2] - J[0][2] * J[2][0]
+    c12 = J[0][2] * J[1][0] - J[0][0] * J[1][2]
+    c20 = J[1][0] * J[2][1] - J[1][1] * J[2][0]
+    c21 = J[0][1] * J[2][0] - J[0][0] * J[2][1]
+    c22 = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+    inv_det = 1.0 / (J[0][0] * c00 + J[0][1] * c01 + J[0][2] * c02)
+    return [(c00 * b[0] + c01 * b[1] + c02 * b[2]) * inv_det,
+            (c10 * b[0] + c11 * b[1] + c12 * b[2]) * inv_det,
+            (c20 * b[0] + c21 * b[1] + c22 * b[2]) * inv_det]
+
+
 def _make_dense_triangle_constrainer(pairs, dists, masses, iterations, dtype):
-    """Rigid-triangle clusters over contiguous atom triples: all per-iteration
-    work is dense (n_mol, 3, 3) arithmetic — no gathers or scatters (a
-    scatter-per-SHAKE-iteration costs more than the whole force evaluation
-    on TPU)."""
+    """Rigid-triangle clusters over contiguous atom triples in molecule-last
+    (9, M) layout: every per-iteration op is full-lane elementwise arithmetic
+    — no gathers/scatters (a scatter per SHAKE iteration costs more than the
+    whole force evaluation on TPU) and no 3-wide trailing dims (which pad to
+    128 lanes and waste ~98% of the VPU)."""
     m = pairs.shape[0]
-    d2 = jnp.asarray(np.asarray(dists, dtype=np.float64) ** 2, dtype)  # (M,3)
-    inv_mass = np.where(np.asarray(masses) > 0,
-                        1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0)
-    im = jnp.asarray(inv_mass.reshape(m, 3), dtype)        # per local atom
-    # constraint k connects local atoms (ik, jk)
+    dists_arr = np.asarray(dists, dtype=np.float64).reshape(m, 3)
+    d2_rows = [jnp.asarray(dists_arr[:, k] ** 2, dtype)[None, :]
+               for k in range(3)]
+    inv3 = np.where(np.asarray(masses) > 0,
+                    1.0 / np.maximum(np.asarray(masses), 1e-300),
+                    0.0).reshape(m, 3)
+    im_rows = [jnp.asarray(inv3[:, a], dtype)[None, :] for a in range(3)]
     LI = (0, 0, 1)
     LJ = (1, 2, 2)
-    s = np.zeros((m, 3, 3))
-    inv3 = inv_mass.reshape(m, 3)
-    for k in range(3):
-        for l in range(3):
-            s[:, k, l] = (inv3[:, LI[k]] * ((LI[k] == LI[l]) - (LI[k] == LJ[l]))
-                          - inv3[:, LJ[k]] * ((LJ[k] == LI[l]) - (LJ[k] == LJ[l])))
-    s_mat = jnp.asarray(s, dtype)
+    s_rows = [[jnp.asarray(
+        inv3[:, LI[k]] * ((LI[k] == LI[l]) - (LI[k] == LJ[l]))
+        - inv3[:, LJ[k]] * ((LJ[k] == LI[l]) - (LJ[k] == LJ[l])),
+        dtype)[None, :] for l in range(3)] for k in range(3)]
 
-    def _rel(pm):
-        # (M, 3 constraints, 3 xyz)
-        return jnp.stack([pm[:, 0] - pm[:, 1], pm[:, 0] - pm[:, 2],
-                          pm[:, 1] - pm[:, 2]], axis=1)
+    def _to_rows(x):
+        # (N, 3) -> atoms a/b/c as (3, M) xyz slabs
+        p = x.reshape(m, 9).T
+        return p[0:3], p[3:6], p[6:9]
 
-    def _apply(pm, lam, r_dir, scale):
-        # delta for local atom a = -invm_a * sum_k lam_k * scale * (+-r_k)
-        t = (lam * scale)[..., None] * r_dir                # (M, 3, 3)
-        d0 = -(t[:, 0] + t[:, 1]) * im[:, 0, None]
-        d1 = -(-t[:, 0] + t[:, 2]) * im[:, 1, None]
-        d2_ = -(-t[:, 1] - t[:, 2]) * im[:, 2, None]
-        return pm + jnp.stack([d0, d1, d2_], axis=1)
+    def _rel(abc):
+        a, b, c = abc
+        return [a - b, a - c, b - c]            # 3 x (3, M)
+
+    def _dot(u, v):
+        return jnp.sum(u * v, axis=0, keepdims=True)   # (1, M)
+
+    def _apply(abc, lam, r_dir, scale):
+        a, b, c = abc
+        t = [lam[k] * scale * r_dir[k] for k in range(3)]   # (3, M)
+        a = a - (t[0] + t[1]) * im_rows[0]
+        b = b - (-t[0] + t[2]) * im_rows[1]
+        c = c - (-t[1] - t[2]) * im_rows[2]
+        return a, b, c
+
+    def _from_rows(abc):
+        return jnp.concatenate(abc, axis=0).T.reshape(-1, 3)
 
     def project_positions(pos_ref, pos_new):
-        rm = _rel(pos_ref.reshape(m, 3, 3))
+        rm = _rel(_to_rows(pos_ref))
 
-        def body(_, pm):
-            rn = _rel(pm)
-            sigma = jnp.sum(rn * rn, axis=-1) - d2
-            dots = jnp.einsum("mkx,mlx->mkl", rn, rm)
-            lam = _solve3(4.0 * s_mat * dots, sigma)
-            return _apply(pm, lam, rm, 2.0)
+        def body(_, abc):
+            rn = _rel(abc)
+            sigma = [_dot(rn[k], rn[k]) - d2_rows[k] for k in range(3)]
+            J = [[4.0 * s_rows[k][l] * _dot(rn[k], rm[l])
+                  for l in range(3)] for k in range(3)]
+            lam = _solve3_rows(J, sigma)
+            return _apply(abc, lam, rm, 2.0)
 
-        out = jax.lax.fori_loop(0, iterations, body,
-                                pos_new.reshape(m, 3, 3))
-        return out.reshape(-1, 3)
+        out = jax.lax.fori_loop(0, iterations, body, _to_rows(pos_new))
+        return _from_rows(out)
 
     def project_velocities(pos, vel):
-        pm = pos.reshape(m, 3, 3)
-        vm = vel.reshape(m, 3, 3)
-        rn = _rel(pm)
-        vrel = _rel(vm)
-        rhs = jnp.sum(rn * vrel, axis=-1)
-        dots = jnp.einsum("mkx,mlx->mkl", rn, rn)
-        lam = _solve3(s_mat * dots, rhs)
-        return _apply(vm, lam, rn, 1.0).reshape(-1, 3)
+        rn = _rel(_to_rows(pos))
+        vabc = _to_rows(vel)
+        vrel = _rel(vabc)
+        rhs = [_dot(rn[k], vrel[k]) for k in range(3)]
+        J = [[s_rows[k][l] * _dot(rn[k], rn[l]) for l in range(3)]
+             for k in range(3)]
+        lam = _solve3_rows(J, rhs)
+        return _from_rows(_apply(vabc, lam, rn, 1.0))
 
     return project_positions, project_velocities
 
