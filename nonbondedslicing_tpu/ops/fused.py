@@ -145,10 +145,19 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
     mode = direct.EWALD_DIRECT if is_ewald_family else direct.CUTOFF
 
     import os
-    # fused: erf corrections computed in the pair tiles (extra transcendental
-    # pass over every pair slot); defused: a separate pass over the actual
-    # exclusion pair list (gather/scatter-bound). Tunable for benchmarking.
-    fuse_exclusions = os.environ.get("NBS_FUSE_EXCL", "1") != "0"
+    # exclusion corrections: fusing them into the pair tiles costs a second
+    # transcendental pass over EVERY pair slot (~35% of the pair kernel);
+    # when the exclusions are rigid-water contiguous triples, a row-layout
+    # pass over the actual pair list is gather/scatter-free and ~10x cheaper
+    # than either, so prefer it. NBS_FUSE_EXCL=0/1 overrides.
+    tri_excl = None
+    if is_ewald_family and not plan.exceptions_periodic:
+        tri_excl = bonded.triangle_exclusions(plan.exclusion_pairs, n)
+    fuse_env = os.environ.get("NBS_FUSE_EXCL")
+    if fuse_env is not None:
+        fuse_exclusions = fuse_env != "0"
+    else:
+        fuse_exclusions = tri_excl is None
     kernel = make_pallas_cell_kernel(
         mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
         nsub=nsub, emax=emax, krf=krf, crf=crf, use_switch=plan.use_switch,
@@ -324,14 +333,28 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             forces = forces + f_k
 
         if is_ewald_family and not fuse_exclusions:
-            e_x, f_x = bonded.exclusion_corrections(
-                positions, box, data["exclusion_pairs"], charge, sig_half,
-                eps2, subsets, slice_table, lam_c, lam_v,
-                alpha=plan.ewald_alpha,
-                periodic_exceptions=plan.exceptions_periodic,
-                ljpme=(method == NonbondedForce.LJPME),
-                dispersion_alpha=plan.dispersion_alpha,
-                num_slices=nslices, num_particles=n)
+            if tri_excl is not None:
+                m_mol = n // 3
+                sub3 = subsets.reshape(m_mol, 3)
+                pair_slices = jnp.stack(
+                    [sl_tab[sub3[:, 0], sub3[:, 1]],
+                     sl_tab[sub3[:, 0], sub3[:, 2]],
+                     sl_tab[sub3[:, 1], sub3[:, 2]]], axis=1)
+                e_x, f_x = bonded.exclusion_corrections_rows(
+                    positions, charge, sig_half, eps2, pair_slices,
+                    lam_c, lam_v, alpha=plan.ewald_alpha,
+                    ljpme=(method == NonbondedForce.LJPME),
+                    dispersion_alpha=plan.dispersion_alpha,
+                    num_slices=nslices)
+            else:
+                e_x, f_x = bonded.exclusion_corrections(
+                    positions, box, data["exclusion_pairs"], charge, sig_half,
+                    eps2, subsets, slice_table, lam_c, lam_v,
+                    alpha=plan.ewald_alpha,
+                    periodic_exceptions=plan.exceptions_periodic,
+                    ljpme=(method == NonbondedForce.LJPME),
+                    dispersion_alpha=plan.dispersion_alpha,
+                    num_slices=nslices, num_particles=n)
             slice_energies = slice_energies + e_x
             forces = forces + f_x
 

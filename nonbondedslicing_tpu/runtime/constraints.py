@@ -57,7 +57,7 @@ def _contiguous_triangles(pairs, n_particles):
     return bool(np.array_equal(pairs, expect))
 
 
-def make_constrainer(pairs, dists, masses, n_particles, iterations=12,
+def make_constrainer(pairs, dists, masses, n_particles, iterations=8,
                      dtype=jnp.float32):
     pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
     if _contiguous_triangles(pairs, n_particles):

@@ -36,7 +36,7 @@ def _waters(n_mol, seed=0):
 def test_positions_restored_to_constraints():
     pos0, pairs, dists, masses = _waters(40)
     proj_x, proj_v = make_constrainer(pairs, dists, masses, len(masses),
-                                      dtype=jnp.float64)
+                                      iterations=12, dtype=jnp.float64)
     rng = np.random.default_rng(1)
     pos1 = pos0 + rng.normal(scale=0.004, size=pos0.shape)  # ~ a 2 fs kick
     pos_c = np.asarray(proj_x(jnp.asarray(pos0), jnp.asarray(pos1)))
@@ -51,7 +51,7 @@ def test_positions_restored_to_constraints():
 def test_position_projection_conserves_momentum():
     pos0, pairs, dists, masses = _waters(10, seed=3)
     proj_x, _ = make_constrainer(pairs, dists, masses, len(masses),
-                                 dtype=jnp.float64)
+                                 iterations=12, dtype=jnp.float64)
     rng = np.random.default_rng(2)
     pos1 = pos0 + rng.normal(scale=0.003, size=pos0.shape)
     pos_c = np.asarray(proj_x(jnp.asarray(pos0), jnp.asarray(pos1)))
@@ -63,7 +63,7 @@ def test_position_projection_conserves_momentum():
 def test_velocities_projected_off_constraints():
     pos0, pairs, dists, masses = _waters(25, seed=5)
     _, proj_v = make_constrainer(pairs, dists, masses, len(masses),
-                                 dtype=jnp.float64)
+                                 iterations=12, dtype=jnp.float64)
     rng = np.random.default_rng(4)
     vel = rng.normal(scale=1.5, size=pos0.shape)
     vel_c = np.asarray(proj_v(jnp.asarray(pos0), jnp.asarray(vel)))
@@ -85,7 +85,7 @@ def test_gather_path_matches_dense_path():
     rng = np.random.default_rng(8)
     pos1 = pos0 + rng.normal(scale=0.003, size=pos0.shape)
     proj_dense, _ = make_constrainer(pairs, dists, masses, len(masses),
-                                     dtype=jnp.float64)
+                                     iterations=12, dtype=jnp.float64)
     out_dense = np.asarray(proj_dense(jnp.asarray(pos0), jnp.asarray(pos1)))
 
     # permute atoms -> generic gather path
@@ -93,6 +93,6 @@ def test_gather_path_matches_dense_path():
     inv = np.argsort(perm)
     pairs_p = inv[pairs]
     proj_g, _ = make_constrainer(pairs_p, dists, masses[perm], len(masses),
-                                 dtype=jnp.float64)
+                                 iterations=12, dtype=jnp.float64)
     out_g = np.asarray(proj_g(jnp.asarray(pos0[perm]), jnp.asarray(pos1[perm])))
     np.testing.assert_allclose(out_g[inv], out_dense, atol=1e-12)
