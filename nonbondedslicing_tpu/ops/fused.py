@@ -158,6 +158,10 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         fuse_exclusions = fuse_env != "0"
     else:
         fuse_exclusions = tri_excl is None
+    # bake periodic-image shifts into the rolled candidate positions (static
+    # per roll offset) so the kernel skips per-slot minimum-image math; the
+    # fused-exclusion path needs raw unwrapped deltas, so it keeps min-image
+    preshift = not (mode == direct.EWALD_DIRECT and fuse_exclusions)
     kernel = make_pallas_cell_kernel(
         mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
         nsub=nsub, emax=emax, krf=krf, crf=crf, use_switch=plan.use_switch,
@@ -165,7 +169,15 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         ljpme=(method == NonbondedForce.LJPME),
         dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
         exceptions_periodic=plan.exceptions_periodic,
-        fuse_exclusions=fuse_exclusions)
+        fuse_exclusions=fuse_exclusions, images_preshifted=preshift)
+    # per-offset wrap indicators: cand cell c receives cell (c+d) mod nc,
+    # whose true image sits at +floor((c+d)/nc) box vectors
+    _wrap = {}
+    for off in HALF_OFFSETS:
+        fac = []
+        for axis, (d, nc) in enumerate(zip(off, counts)):
+            fac.append(((np.arange(nc) + d) // nc).astype(np.float64))
+        _wrap[off] = fac
 
     # box-static convolution kernels for the MD fastpath (valid only while
     # the runtime box equals plan.box0 — callers must enforce)
@@ -232,14 +244,32 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         sfeat = state["sfeat"]
 
         # ---- the per-step gather: positions into slot order
-        pos_p = jnp.concatenate([positions, jnp.zeros((1, 3), dtype)], axis=0)
+        if preshift:
+            # the per-offset image shifts assume canonical in-box positions
+            # consistent with the cell assignment (an atom drifted past the
+            # box edge already sits on the neighbor's side); wrapping is
+            # exact for the pair deltas and a no-op for the PME fractional
+            # coordinates
+            frac = positions @ recip_box_vectors(box).astype(dtype)
+            pos_in = positions - jnp.floor(frac) @ box
+        else:
+            pos_in = positions
+        pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)], axis=0)
         pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
                               1, 2)                            # (g, 3, C)
         grid_pos = pos_fm.reshape(ncx, ncy, ncz, 3, capacity)
-        cand_pos = jnp.concatenate(
-            [jnp.roll(grid_pos, (-dx, -dy, -dz), axis=(0, 1, 2))
-             .reshape(n_cells, 3, capacity) for (dx, dy, dz) in HALF_OFFSETS],
-            axis=2)                                            # (g, 3, 14C)
+        cand_blocks = []
+        for off in HALF_OFFSETS:
+            dx, dy, dz = off
+            rolled = jnp.roll(grid_pos, (-dx, -dy, -dz), axis=(0, 1, 2))
+            if preshift:
+                wx, wy, wz = _wrap[off]
+                shift = (jnp.asarray(wx, dtype)[:, None, None, None] * box[0]
+                         + jnp.asarray(wy, dtype)[None, :, None, None] * box[1]
+                         + jnp.asarray(wz, dtype)[None, None, :, None] * box[2])
+                rolled = rolled + shift[..., None]
+            cand_blocks.append(rolled.reshape(n_cells, 3, capacity))
+        cand_pos = jnp.concatenate(cand_blocks, axis=2)        # (g, 3, 14C)
 
         rows_feat = jnp.concatenate([pos_fm, sfeat], axis=1)
         cand_feat = jnp.concatenate([cand_pos, state["cand_static"]], axis=1)

@@ -60,7 +60,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                             switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
                             dispersion_alpha=0.0, interpret=False,
                             cells_per_tile=None, exceptions_periodic=False,
-                            fuse_exclusions=True):
+                            fuse_exclusions=True, images_preshifted=False):
     """Build the half-shell tile kernel.
 
     f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
@@ -104,23 +104,29 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         ri = ri_ref[g, 0]         # (C,)
         ci = ci_ref[g, 0]         # (14C,)
 
-        # ---- minimum image over the reduced triclinic box (c, b, a order)
         dx0 = rf[0].reshape(capacity, 1) - cf[0].reshape(1, ncand)
         dy0 = rf[1].reshape(capacity, 1) - cf[1].reshape(1, ncand)
         dz0 = rf[2].reshape(capacity, 1) - cf[2].reshape(1, ncand)
-        dx, dy, dz = dx0, dy0, dz0
-        bzz = box_ref[2, 2]
-        nz = jnp.floor(dz / bzz + 0.5)
-        dx -= nz * box_ref[2, 0]
-        dy -= nz * box_ref[2, 1]
-        dz -= nz * bzz
-        byy = box_ref[1, 1]
-        ny = jnp.floor(dy / byy + 0.5)
-        dx -= ny * box_ref[1, 0]
-        dy -= ny * byy
-        bxx = box_ref[0, 0]
-        nx = jnp.floor(dx / bxx + 0.5)
-        dx -= nx * bxx
+        if images_preshifted:
+            # the caller baked the periodic image shifts into the candidate
+            # positions at roll time (static per roll offset), so raw deltas
+            # ARE minimum-image deltas for in-range pairs
+            dx, dy, dz = dx0, dy0, dz0
+        else:
+            # ---- minimum image over the reduced triclinic box (c, b, a)
+            dx, dy, dz = dx0, dy0, dz0
+            bzz = box_ref[2, 2]
+            nz = jnp.floor(dz / bzz + 0.5)
+            dx -= nz * box_ref[2, 0]
+            dy -= nz * box_ref[2, 1]
+            dz -= nz * bzz
+            byy = box_ref[1, 1]
+            ny = jnp.floor(dy / byy + 0.5)
+            dx -= ny * box_ref[1, 0]
+            dy -= ny * byy
+            bxx = box_ref[0, 0]
+            nx = jnp.floor(dx / bxx + 0.5)
+            dx -= nx * bxx
         r2 = dx * dx + dy * dy + dz * dz     # (C, 14C)
 
         ri_col = ri.reshape(capacity, 1)
