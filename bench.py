@@ -251,19 +251,29 @@ def main():
             print(f"# saved equilibrated state to {state_file}",
                   file=sys.stderr)
 
-    # measured chunk (run_chunk keeps the guard-retry safety net; the host
-    # round trip it adds is one transfer per 100 steps). If a guard retry
-    # forced a recompile inside the timed block, re-measure.
+    # measured block: chained device-resident run() calls (positions/vels
+    # stay on device between calls; one host fetch at the end — tunnel
+    # transfers inside a short timed window add ~10% noise otherwise).
+    # If a guard retry forced a recompile inside the timed block, re-measure.
+    n_chain = 5
     while True:
         run_before = state["run"]
-        t0 = time.time()
-        pos2_np, vel2_np, energy = run_chunk(pos_np, vel_np)
-        elapsed = time.time() - t0
-        if state["run"] is run_before:
+        try:
+            t0 = time.time()
+            p = jnp.asarray(pos_np, dtype)
+            v = jnp.asarray(vel_np, dtype)
+            for _ in range(n_chain):
+                p, v, energy = state["run"](p, v, box_arr, gvals, data,
+                                            STEPS_MEASURE)
+            jax.block_until_ready(p)
+            elapsed = (time.time() - t0) / n_chain
             break
-        pos_np, vel_np = pos2_np, vel2_np
-        print("# guard retry during measurement; re-measuring",
-              file=sys.stderr)
+        except nbs.OpenMMException as exc:
+            print(f"# guard tripped during measurement ({exc}); retrying",
+                  file=sys.stderr)
+            pos_np, vel_np, energy = run_chunk(pos_np, vel_np)
+            if state["run"] is not run_before:
+                continue
     run = state["run"]
 
     steps_per_s = STEPS_MEASURE / elapsed
