@@ -81,3 +81,27 @@ def test_permutation_invariance():
     np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1)[perm], rtol=1e-7,
                                atol=1e-10)
+
+
+def test_matmul_dft_matches_fft_backend():
+    """FFT-backend agreement (the analog of the reference's testUseCuFFT,
+    TestCudaSlicedNonbondedForce.cpp:164-224): the MXU matmul-DFT pipeline
+    must match jnp.fft's rfftn/irfftn on the same grids."""
+    import jax.numpy as jnp
+    from nonbondedslicing_tpu.ops import pme
+
+    rng = np.random.default_rng(3)
+    for shape in [(2, 12, 10, 8), (3, 9, 9, 9)]:
+        grid = jnp.asarray(rng.standard_normal(shape))
+        s_re, s_im = pme.rfft3_matmul(grid)
+        ref = np.fft.rfftn(np.asarray(grid), axes=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(s_re), ref.real,
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_im), ref.imag,
+                                   rtol=1e-9, atol=1e-9)
+        # unnormalized synthesis: irfftn * N
+        n = shape[1] * shape[2] * shape[3]
+        back = pme.irfft3_matmul(s_re, s_im, shape[1:])
+        ref_back = np.fft.irfftn(ref, s=shape[1:], axes=(1, 2, 3)) * n
+        np.testing.assert_allclose(np.asarray(back), ref_back,
+                                   rtol=1e-8, atol=1e-8)
