@@ -69,3 +69,23 @@ def test_changed_exception_set_rejected():
     force.setExceptionParameters(0, 0, 1, 0.0, 1.0, 0.0)
     with pytest.raises(nbs.OpenMMException):
         force.updateParametersInContext(ctx)
+
+
+def test_subset_reassignment_via_update():
+    """Changing particle subsets is a data refresh (no lambda re-wiring):
+    updateParametersInContext must match a freshly built context."""
+    ctx, force = _ctx(nsub=2, n=36)
+    ctx.getState(getEnergy=True)
+    rng = np.random.default_rng(7)
+    new_subsets = rng.integers(0, 2, force.getNumParticles())
+    for i, s in enumerate(new_subsets):
+        force.setParticleSubset(i, int(s))
+    force.updateParametersInContext(ctx)
+    e_updated = ctx.getState(getEnergy=True).getPotentialEnergy()
+
+    ctx2 = nbs.Context(ctx.getSystem(), nbs.VerletIntegrator(0.001),
+                       nbs.Platform.getPlatformByName("Reference"))
+    ctx2.setPositions(np.asarray(ctx.getState(getPositions=True).getPositions()))
+    ctx2.setParameter("lam", ctx.getParameter("lam"))
+    e_fresh = ctx2.getState(getEnergy=True).getPotentialEnergy()
+    assert abs(e_updated - e_fresh) < 1e-9 * max(abs(e_fresh), 1.0)
