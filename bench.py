@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_NS_DAY = 500.0  # proxy for reference CUDA platform, see BASELINE.md
-N_MOLECULES = 7763       # ~23k atoms of 3-site water
+# ~23k atoms of 3-site water by default; NBS_MOLECULES overrides for scaling
+# measurements (the equilibrated-state file is size-specific)
+N_MOLECULES = int(os.environ.get("NBS_MOLECULES", "7763"))
 RIGID = os.environ.get("NBS_FLEXIBLE", "0") != "1"
 DT_PS = 0.002 if RIGID else 0.001   # rigid water (SHAKE/RATTLE) runs 2 fs
 STEPS_MEASURE = 100
@@ -202,10 +204,11 @@ def main():
 
     # a pre-equilibrated 300 K configuration (extras/make_bench_state.py)
     # makes the measurement deterministic and skips equilibration chunks
+    suffix = "" if N_MOLECULES == 7763 else f"_{N_MOLECULES}"
     state_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "extras",
-                              "bench_state_rigid.npz" if RIGID
-                              else "bench_state_flexible.npz")
+                              (f"bench_state_rigid{suffix}.npz" if RIGID
+                               else f"bench_state_flexible{suffix}.npz"))
     kB = 8.31446261815324e-3
     n_dof = 3 * n - (3 * N_MOLECULES if RIGID else 0) - 3
     if os.path.exists(state_file) and os.environ.get("NBS_EQUILIBRATE") != "1":
