@@ -132,16 +132,14 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
     eterm0 = None
     dterm0 = None
     if hoist_eterm and method in (NonbondedForce.PME, NonbondedForce.LJPME):
-        from .geometry import recip_box_vectors
-        box0 = jnp.asarray(plan.box0)
-        recip0 = recip_box_vectors(box0)
-        eterm0 = pme.coulomb_eterm(plan.pme_grid, plan.pme_moduli, box0,
-                                   recip0, plan.ewald_alpha, jnp.float32,
-                                   half=True)
+        # numpy: device-array closure constants lower catastrophically slowly
+        eterm0 = pme.coulomb_eterm_np(plan.pme_grid, plan.pme_moduli,
+                                      plan.box0, plan.ewald_alpha,
+                                      half=True).astype(np.float32)
         if method == NonbondedForce.LJPME:
-            dterm0 = pme.dispersion_eterm(
-                plan.dispersion_grid, plan.dpme_moduli, box0, recip0,
-                plan.dispersion_alpha, jnp.float32, half=True)
+            dterm0 = pme.dispersion_eterm_np(
+                plan.dispersion_grid, plan.dpme_moduli, plan.box0,
+                plan.dispersion_alpha, half=True).astype(np.float32)
 
     def compute(positions, box, gvals, data):
         dtype = positions.dtype

@@ -135,7 +135,7 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
     nsub = plan.num_subsets
     nslices = plan.num_slices
     slice_pairs_np = np.asarray(slice_subsets(nsub))
-    slice_pairs = jnp.asarray(slice_pairs_np)
+    slice_pairs = slice_pairs_np
     slice_table = plan.slice_table
     emax = plan.exclusion_list.shape[1]
 
@@ -181,17 +181,18 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
 
     # box-static convolution kernels for the MD fastpath (valid only while
     # the runtime box equals plan.box0 — callers must enforce)
+    # numpy, NOT device arrays: closure constants that are device arrays get
+    # fetched element-wise over the TPU tunnel during lowering (minutes for a
+    # PME grid)
     eterm0 = dterm0 = None
     if hoist_eterm and is_pme:
-        box0 = jnp.asarray(plan.box0)
-        recip0 = recip_box_vectors(box0)
-        eterm0 = pme.coulomb_eterm(cfg["pme_grid"], cfg["pme_moduli"], box0,
-                                   recip0, plan.ewald_alpha, jnp.float32,
-                                   half=True)
+        eterm0 = pme.coulomb_eterm_np(cfg["pme_grid"], cfg["pme_moduli"],
+                                      plan.box0, plan.ewald_alpha,
+                                      half=True).astype(np.float32)
         if method == NonbondedForce.LJPME:
-            dterm0 = pme.dispersion_eterm(
-                cfg["dispersion_grid"], cfg["dpme_moduli"], box0, recip0,
-                plan.dispersion_alpha, jnp.float32, half=True)
+            dterm0 = pme.dispersion_eterm_np(
+                cfg["dispersion_grid"], cfg["dpme_moduli"], plan.box0,
+                plan.dispersion_alpha, half=True).astype(np.float32)
 
     def prepare(positions, box, gvals, data):
         """Slot table + assignment-static tensors (rebuild every K steps)."""
@@ -281,8 +282,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         col_f = col_f[:n_cells]
         mc = jnp.sum(m_c, axis=0)
         mv = jnp.sum(m_v, axis=0)
-        a = jnp.asarray(slice_pairs_np[:, 0])
-        b = jnp.asarray(slice_pairs_np[:, 1])
+        a = slice_pairs_np[:, 0]
+        b = slice_pairs_np[:, 1]
         ec = jnp.where(a == b, mc[a, a], mc[a, b] + mc[b, a])
         ev = jnp.where(a == b, mv[a, a], mv[a, b] + mv[b, a])
         slice_energies = jnp.zeros((nslices, 2), dtype).at[:, COUL].add(ec)

@@ -391,7 +391,7 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
     kern_cache = {}
     if exclusion_pairs is None:
         exclusion_pairs = np.zeros((0, 2), dtype=np.int32)
-    exclusion_pairs = jnp.asarray(exclusion_pairs)
+    exclusion_pairs = np.asarray(exclusion_pairs)  # numpy: closure constant
 
     def _base_with_corrections(positions, box, charge, sig_half, eps2,
                                subsets, exclusion_list, slice_table, lam_coul,

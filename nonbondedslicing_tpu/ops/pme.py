@@ -154,16 +154,24 @@ def _dense_chunk_size(grid_shape, n):
 _MATMUL_DFT_MAX = 512  # use MXU DFT matmuls for axes up to this size
 
 
+def _np_dtype(dtype):
+    return np.dtype(jnp.dtype(dtype).name)
+
+
 def _dft_mats(n, dtype):
+    # numpy (host) constants: device-array constants captured in jitted
+    # closures are fetched element-wise over the TPU tunnel at lowering time
     k = np.arange(n)
     ang = 2.0 * np.pi * np.outer(k, k) / n
-    return (jnp.asarray(np.cos(ang), dtype), jnp.asarray(-np.sin(ang), dtype))
+    d = _np_dtype(dtype)
+    return (np.cos(ang).astype(d), (-np.sin(ang)).astype(d))
 
 
 def _rdft_mats(n, dtype):
     nr = n // 2 + 1
     ang = 2.0 * np.pi * np.outer(np.arange(n), np.arange(nr)) / n
-    return (jnp.asarray(np.cos(ang), dtype), jnp.asarray(-np.sin(ang), dtype))
+    d = _np_dtype(dtype)
+    return (np.cos(ang).astype(d), (-np.sin(ang)).astype(d))
 
 
 def _irdft_mats(n, dtype):
@@ -176,8 +184,9 @@ def _irdft_mats(n, dtype):
     if n % 2 == 0:
         w[-1] = 1.0
     ang = 2.0 * np.pi * np.outer(np.arange(nr), np.arange(n)) / n
-    return (jnp.asarray(np.cos(ang) * w[:, None], dtype),
-            jnp.asarray(np.sin(ang) * w[:, None], dtype))
+    d = _np_dtype(dtype)
+    return ((np.cos(ang) * w[:, None]).astype(d),
+            (np.sin(ang) * w[:, None]).astype(d))
 
 
 def _cmatmul_last(re, im, mats):
@@ -386,7 +395,7 @@ def rfft_energy_weights(nz, dtype):
     w[0] = 1.0
     if nz % 2 == 0:
         w[-1] = 1.0
-    return jnp.asarray(w, dtype)
+    return w.astype(_np_dtype(dtype))
 
 
 def coulomb_eterm(grid_shape, moduli, box, recip, alpha, dtype, half=False):
@@ -551,3 +560,73 @@ def pme_reciprocal(positions, box, charges, subsets, lam_s, *, alpha, grid_shape
         forces = interpolate_forces(phi, charges, subsets, index, theta,
                                     dtheta, recip, lam_nn, grid_shape, order)
     return slice_energies, forces
+
+
+# ------------------------------------------------- host (numpy) eterm builds
+# Build-time convolution kernels hoisted into jitted closures MUST be numpy:
+# a device-array closure constant is fetched element-wise over the TPU tunnel
+# during MLIR lowering (~4 ms/element — minutes for a PME grid).
+
+def coulomb_eterm_np(grid_shape, moduli, box, alpha, half=True):
+    """numpy twin of coulomb_eterm for a static (host) box."""
+    box = np.asarray(box, dtype=np.float64)
+    recip = np.linalg.inv(box).T
+    nx, ny, nz = grid_shape
+
+    def freqs(n):
+        k = np.arange(n)
+        return np.where(k < (n + 1) // 2, k, k - n)
+
+    mx = freqs(nx)[:, None, None]
+    my = freqs(ny)[None, :, None]
+    mz = (np.arange(nz // 2 + 1) if half else freqs(nz))[None, None, :]
+    mhx = mx * recip[0, 0]
+    mhy = mx * recip[1, 0] + my * recip[1, 1]
+    mhz = mx * recip[2, 0] + my * recip[2, 1] + mz * recip[2, 2]
+    m2 = mhx * mhx + mhy * mhy + mhz * mhz
+    volume = box[0, 0] * box[1, 1] * box[2, 2]
+    bx = math.pi * volume * np.asarray(moduli[0])[:, None, None]
+    by = np.asarray(moduli[1])[None, :, None]
+    bz = np.asarray(moduli[2][:nz // 2 + 1] if half else moduli[2])[None, None, :]
+    factor = math.pi * math.pi / (alpha * alpha)
+    denom = m2 * bx * by * bz
+    safe = denom != 0
+    eterm = np.where(safe,
+                     ONE_4PI_EPS0 * np.exp(-factor * np.where(safe, m2, 1.0))
+                     / np.where(safe, denom, 1.0), 0.0)
+    eterm[0, 0, 0] = 0.0
+    return eterm
+
+
+def dispersion_eterm_np(grid_shape, moduli, box, alpha, half=True):
+    """numpy twin of dispersion_eterm for a static (host) box."""
+    box = np.asarray(box, dtype=np.float64)
+    recip = np.linalg.inv(box).T
+    nx, ny, nz = grid_shape
+
+    def freqs(n):
+        k = np.arange(n)
+        return np.where(k < (n + 1) // 2, k, k - n)
+
+    mx = freqs(nx)[:, None, None]
+    my = freqs(ny)[None, :, None]
+    mz = (np.arange(nz // 2 + 1) if half else freqs(nz))[None, None, :]
+    mhx = mx * recip[0, 0]
+    mhy = mx * recip[1, 0] + my * recip[1, 1]
+    mhz = mx * recip[2, 0] + my * recip[2, 1] + mz * recip[2, 2]
+    m2 = mhx * mhx + mhy * mhy + mhz * mhz
+    volume = box[0, 0] * box[1, 1] * box[2, 2]
+    boxfactor = -2.0 * math.pi * math.sqrt(math.pi) / (6.0 * volume)
+    bx = np.asarray(moduli[0])[:, None, None]
+    by = np.asarray(moduli[1])[None, :, None]
+    bz = np.asarray(moduli[2][:nz // 2 + 1] if half else moduli[2])[None, None, :]
+    bfac = math.pi / alpha
+    fac1 = 2.0 * math.pi ** 3 * math.sqrt(math.pi)
+    fac2 = alpha ** 3
+    fac3 = -2.0 * alpha * math.pi ** 2
+    m = np.sqrt(m2)
+    m3 = m * m2
+    b = bfac * m
+    erfc_b = np.vectorize(math.erfc)(b)
+    return ((fac1 * erfc_b * m3 + np.exp(-b * b) * (fac2 + fac3 * m2))
+            * boxfactor / (bx * by * bz))

@@ -91,19 +91,22 @@ def _make_dense_triangle_constrainer(pairs, dists, masses, iterations, dtype):
     whole force evaluation on TPU) and no 3-wide trailing dims (which pad to
     128 lanes and waste ~98% of the VPU)."""
     m = pairs.shape[0]
+    # numpy closure constants (device arrays lower element-wise over the
+    # TPU tunnel)
+    np_dt = np.dtype(jnp.dtype(dtype).name)
     dists_arr = np.asarray(dists, dtype=np.float64).reshape(m, 3)
-    d2_rows = [jnp.asarray(dists_arr[:, k] ** 2, dtype)[None, :]
+    d2_rows = [(dists_arr[:, k] ** 2).astype(np_dt)[None, :]
                for k in range(3)]
     inv3 = np.where(np.asarray(masses) > 0,
                     1.0 / np.maximum(np.asarray(masses), 1e-300),
                     0.0).reshape(m, 3)
-    im_rows = [jnp.asarray(inv3[:, a], dtype)[None, :] for a in range(3)]
+    im_rows = [inv3[:, a].astype(np_dt)[None, :] for a in range(3)]
     LI = (0, 0, 1)
     LJ = (1, 2, 2)
-    s_rows = [[jnp.asarray(
+    s_rows = [[(
         inv3[:, LI[k]] * ((LI[k] == LI[l]) - (LI[k] == LJ[l]))
-        - inv3[:, LJ[k]] * ((LJ[k] == LI[l]) - (LJ[k] == LJ[l])),
-        dtype)[None, :] for l in range(3)] for k in range(3)]
+        - inv3[:, LJ[k]] * ((LJ[k] == LI[l]) - (LJ[k] == LJ[l]))
+        ).astype(np_dt)[None, :] for l in range(3)] for k in range(3)]
 
     def _to_rows(x):
         # (N, 3) -> atoms a/b/c as (3, M) xyz slabs
@@ -168,13 +171,14 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype):
     """
     pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
     m = pairs.shape[0]
-    i_idx = jnp.asarray(pairs[..., 0])       # (M, 3)
-    j_idx = jnp.asarray(pairs[..., 1])
-    d2 = jnp.asarray(np.asarray(dists, dtype=np.float64) ** 2, dtype)
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    i_idx = pairs[..., 0]                    # (M, 3)
+    j_idx = pairs[..., 1]
+    d2 = (np.asarray(dists, dtype=np.float64) ** 2).astype(np_dt)
     inv_mass = np.where(np.asarray(masses) > 0,
                         1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0)
-    im_i = jnp.asarray(inv_mass, dtype)[i_idx]   # (M, 3)
-    im_j = jnp.asarray(inv_mass, dtype)[j_idx]
+    im_i = inv_mass.astype(np_dt)[i_idx]     # (M, 3)
+    im_j = inv_mass.astype(np_dt)[j_idx]
 
     # coupling sparsity: S[k, l] = +invm on shared atoms with sign from
     # orientation — precompute per cluster as (M, 3, 3) scalar factors
@@ -186,7 +190,7 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype):
             s[:, k, l] = (inv_mass[ik] * (ik == il) - inv_mass[ik] * (ik == jl)
                           - inv_mass[jk] * (jk == il)
                           + inv_mass[jk] * (jk == jl))
-    s_mat = jnp.asarray(s, dtype)
+    s_mat = s.astype(np_dt)
 
     def _apply_lambda(pos, lam, r_dir):
         """pos -= invM * sum_k lam_k * grad sigma_k (grad = 2 r_dir)."""

@@ -41,12 +41,15 @@ def _bond_forces_fn(bonds, n, dtype, periodic=False, box=None):
     if bonds is None or len(bonds) == 0:
         return None
     from ..ops.geometry import min_image
+    # numpy closure constants (device arrays lower element-wise over the
+    # TPU tunnel)
+    np_dt = np.dtype(jnp.dtype(dtype).name)
     bonds = np.asarray(bonds, dtype=np.float64)
-    b_i = jnp.asarray(bonds[:, 0].astype(np.int32))
-    b_j = jnp.asarray(bonds[:, 1].astype(np.int32))
-    b_r0 = jnp.asarray(bonds[:, 2], dtype)
-    b_k = jnp.asarray(bonds[:, 3], dtype)
-    box_c = None if box is None else jnp.asarray(box, dtype)
+    b_i = bonds[:, 0].astype(np.int32)
+    b_j = bonds[:, 1].astype(np.int32)
+    b_r0 = bonds[:, 2].astype(np_dt)
+    b_k = bonds[:, 3].astype(np_dt)
+    box_c = None if box is None else np.asarray(box, dtype=np_dt)
 
     def bond_forces(pos):
         dr = pos[b_i] - pos[b_j]
@@ -86,10 +89,9 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                                       hoist_eterm=True, interpret=interpret,
                                       target_skin=target_skin)
     n = plan.num_particles
-    inv_m = jnp.asarray(
-        np.where(np.asarray(masses) > 0,
-                 1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0),
-        dtype)[:, None]
+    inv_m = np.where(np.asarray(masses) > 0,
+                     1.0 / np.maximum(np.asarray(masses), 1e-300),
+                     0.0).astype(np.dtype(jnp.dtype(dtype).name))[:, None]
     lam_source = plan.lam_source
     bond_forces = _bond_forces_fn(bonds, n, dtype, periodic=bonds_periodic,
                                   box=plan.box0)
