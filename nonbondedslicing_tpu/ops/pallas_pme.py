@@ -25,7 +25,7 @@ from . import pme
 from .geometry import recip_box_vectors
 from .pme_bricks import brick_window
 
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGHEST  # Mosaic rejects Precision.HIGH in-kernel
 
 
 def _bspline_lists(frac, order):
