@@ -113,12 +113,18 @@ def _bricks_to_cells(x, counts, bricks):
 
 
 def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
-                      interpret=False, target_skin=0.0):
+                      interpret=False, target_skin=0.0, energies=True):
     """Build (prepare, apply, config) for the fused TPU engine.
 
     prepare(positions, box, gvals, data) -> state
     apply(positions, box, gvals, data, state)
         -> (slice_energies (S, 2), forces (N, 3), aux)
+
+    ``energies=False`` builds a force-only variant: the direct-space pair
+    energies (and their per-slice moment contractions) are skipped in the
+    kernel — the returned slice_energies then lack the direct pair terms.
+    MD inner steps only consume forces; callers wanting the energy run one
+    full-variant evaluation at the end.
     """
     cfg = fused_config(plan, cell_capacity, target_skin=target_skin)
     if cfg is None:
@@ -169,7 +175,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         ljpme=(method == NonbondedForce.LJPME),
         dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
         exceptions_periodic=plan.exceptions_periodic,
-        fuse_exclusions=fuse_exclusions, images_preshifted=preshift)
+        fuse_exclusions=fuse_exclusions, images_preshifted=preshift,
+        compute_energies=energies)
     # per-offset wrap indicators: cand cell c receives cell (c+d) mod nc,
     # whose true image sits at +floor((c+d)/nc) box vectors
     _wrap = {}
@@ -280,14 +287,16 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             state["cand_idx"], lam_c_nn, lam_v_nn, box, n)
         row_f = row_f[:n_cells]
         col_f = col_f[:n_cells]
-        mc = jnp.sum(m_c, axis=0)
-        mv = jnp.sum(m_v, axis=0)
-        a = slice_pairs_np[:, 0]
-        b = slice_pairs_np[:, 1]
-        ec = jnp.where(a == b, mc[a, a], mc[a, b] + mc[b, a])
-        ev = jnp.where(a == b, mv[a, a], mv[a, b] + mv[b, a])
-        slice_energies = jnp.zeros((nslices, 2), dtype).at[:, COUL].add(ec)
-        slice_energies = slice_energies.at[:, VDW].add(ev)
+        slice_energies = jnp.zeros((nslices, 2), dtype)
+        if energies:
+            mc = jnp.sum(m_c, axis=0)
+            mv = jnp.sum(m_v, axis=0)
+            a = slice_pairs_np[:, 0]
+            b = slice_pairs_np[:, 1]
+            ec = jnp.where(a == b, mc[a, a], mc[a, b] + mc[b, a])
+            ev = jnp.where(a == b, mv[a, a], mv[a, b] + mv[b, a])
+            slice_energies = slice_energies.at[:, COUL].add(ec)
+            slice_energies = slice_energies.at[:, VDW].add(ev)
 
         # roll per-offset column forces back onto their home cells
         slot_f = row_f.reshape(ncx, ncy, ncz, 3, capacity)

@@ -60,7 +60,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                             switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
                             dispersion_alpha=0.0, interpret=False,
                             cells_per_tile=None, exceptions_periodic=False,
-                            fuse_exclusions=True, images_preshifted=False):
+                            fuse_exclusions=True, images_preshifted=False,
+                            compute_energies=True):
     """Build the half-shell tile kernel.
 
     f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
@@ -160,17 +161,20 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             sw_val, sw_der = one, jnp.zeros((), dtype)
 
         dedr_vdw = sw_val * eps * (12.0 * sig6 - 6.0) * sig6 * rinv * rinv
-        e_vdw = eps * (sig6 - 1.0) * sig6
+        e_vdw = (eps * (sig6 - 1.0) * sig6
+                 if compute_energies or use_switch else None)
 
         if mode == CUTOFF:
-            e_coul = ONE_4PI_EPS0 * qq * (rinv + krf * r2s - crf)
+            e_coul = (ONE_4PI_EPS0 * qq * (rinv + krf * r2s - crf)
+                      if compute_energies else None)
             dedr_coul = ONE_4PI_EPS0 * qq * (rinv - 2.0 * krf * r2s) \
                 * rinv * rinv
         else:
             alpha_r = ewald_alpha * r
             erfc_ar = _erfc_hastings(alpha_r)
             gauss = jnp.exp(-alpha_r * alpha_r)
-            e_coul = ONE_4PI_EPS0 * qq * rinv * erfc_ar
+            e_coul = (ONE_4PI_EPS0 * qq * rinv * erfc_ar
+                      if compute_energies else None)
             dedr_coul = (ONE_4PI_EPS0 * qq * rinv * rinv * rinv
                          * (erfc_ar + 2.0 * alpha_r * gauss / SQRT_PI))
             if ljpme:
@@ -196,11 +200,12 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                 darc4 = darc2 * darc2
                 shift = shift - c6ij * inv_cut6 * (
                     1.0 - math.exp(-darc2) * (1.0 + darc2 + 0.5 * darc4))
-                e_vdw = e_vdw + emult + shift
+                if e_vdw is not None:
+                    e_vdw = e_vdw + emult + shift
 
         if use_switch:
             dedr_vdw = dedr_vdw - e_vdw * sw_der * rinv
-            e_vdw = e_vdw * sw_val
+            e_vdw = e_vdw * sw_val if compute_energies else None
 
         oh_i = rf[6:6 + nsub]                          # (nsub, C)
         oh_j = cf[6:6 + nsub]                          # (nsub, 14C)
@@ -212,8 +217,9 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                          oh_j, preferred_element_type=dtype)
         zero = jnp.zeros((), dtype)
         factor = jnp.where(mask, lam_vp * dedr_vdw + lam_cp * dedr_coul, zero)
-        e_coul = jnp.where(mask, e_coul, zero)
-        e_vdw = jnp.where(mask, e_vdw, zero)
+        if compute_energies:
+            e_coul = jnp.where(mask, e_coul, zero)
+            e_vdw = jnp.where(mask, e_vdw, zero)
 
         fxe = zero
         fye = zero
@@ -245,7 +251,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                 * (erf_ar - 2.0 * arx * jnp.exp(-arx * arx) / SQRT_PI),
                 zero)
             factor_x = jnp.where(xmask, -lam_cp * dedr_x, zero)
-            e_coul = e_coul + jnp.where(xmask, e_cx, zero)
+            if compute_energies:
+                e_coul = e_coul + jnp.where(xmask, e_cx, zero)
             if ljpme:
                 darx = dispersion_alpha * rx
                 darx2 = darx * darx
@@ -267,7 +274,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                                       + darx6 / 6.0)),
                     zero)
                 factor_x = factor_x + jnp.where(xmask, -lam_vp * dedr_vx, zero)
-                e_vdw = e_vdw + jnp.where(xmask, e_vx, zero)
+                if compute_energies:
+                    e_vdw = e_vdw + jnp.where(xmask, e_vx, zero)
             fxe = factor_x * dxu
             fye = factor_x * dyu
             fze = factor_x * dzu
@@ -283,6 +291,9 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             [jnp.sum(fx, axis=0), jnp.sum(fy, axis=0), jnp.sum(fz, axis=0)],
             axis=0)                                    # (3, 14C)
 
+        if not compute_energies:
+            z = jnp.zeros((nsub, nsub), dtype)
+            return z, z
         mc = jnp.dot(oh_i, jnp.dot(e_coul, oh_j.T,
                                    preferred_element_type=dtype),
                      preferred_element_type=dtype)

@@ -87,7 +87,12 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         interpret = jax.default_backend() != "tpu"
     eng = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
                                       hoist_eterm=True, interpret=interpret,
-                                      target_skin=target_skin)
+                                      target_skin=target_skin, energies=False)
+    eng_full = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
+                                           hoist_eterm=True,
+                                           interpret=interpret,
+                                           target_skin=target_skin,
+                                           energies=True)
     n = plan.num_particles
     inv_m = np.where(np.asarray(masses) > 0,
                      1.0 / np.maximum(np.asarray(masses), 1e-300),
@@ -117,7 +122,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         return _make_md_step_simple(plan, integrate, dt, dtype, block_size,
                                     bond_forces, cell_capacity, lam_source)
 
-    prepare, apply, cfg = eng
+    prepare, apply, cfg = eng           # force-only inner-step variant
+    _, apply_full, _ = eng_full         # energies for the end-of-run report
     skin = cfg["skin"]
     if reuse_steps is None:
         # steps until a 4 nm/ps atom (≈ the 300 K Maxwell tail of ~16k
@@ -132,36 +138,36 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         nslices = plan.num_slices
 
         def inner(carry, _):
-            pos, vel, dmax, _, state = carry
-            slice_e, forces, aux = apply(pos, box, gvals, data, state)
+            pos, vel, dmax, state = carry
+            _, forces, aux = apply(pos, box, gvals, data, state)
             if bond_forces is not None:
                 forces = forces + bond_forces(pos)
             pos, vel = integrate(pos, vel, forces)
             dmax = jnp.maximum(dmax, aux["maxdisp2"])
-            return (pos, vel, dmax, slice_e, state), None
+            return (pos, vel, dmax, state), None
 
-        def block(pos, vel, ov, dmax, se, k):
+        def block(pos, vel, ov, dmax, k):
             state = prepare(pos, box, gvals, data)
-            (pos, vel, dmax, se, _), _ = jax.lax.scan(
-                inner, (pos, vel, dmax, se, state), None, length=k)
+            (pos, vel, dmax, _), _ = jax.lax.scan(
+                inner, (pos, vel, dmax, state), None, length=k)
             ov = jnp.maximum(ov, state["overflow"])
-            return pos, vel, ov, dmax, se
+            return pos, vel, ov, dmax
 
         def outer(carry, _):
-            pos, vel, ov, dmax, se = carry
-            return block(pos, vel, ov, dmax, se, K), None
+            pos, vel, ov, dmax = carry
+            return block(pos, vel, ov, dmax, K), None
 
         zero = jnp.zeros((), dtype)
-        se0 = jnp.zeros((nslices, 2), dtype)
-        (pos, vel, ov, dmax, slice_e), _ = jax.lax.scan(
-            outer, (pos, vel, jnp.zeros((), jnp.int32), zero, se0), None,
+        (pos, vel, ov, dmax), _ = jax.lax.scan(
+            outer, (pos, vel, jnp.zeros((), jnp.int32), zero), None,
             length=n_outer)
         if rem:
-            pos, vel, ov, dmax, slice_e = block(pos, vel, ov, dmax, slice_e,
-                                                rem)
-        # energy from the LAST force evaluation (i.e. at the positions the
-        # final integration step started from) — avoids instantiating a whole
-        # extra prepare+apply in the compiled program just for the report
+            pos, vel, ov, dmax = block(pos, vel, ov, dmax, rem)
+        # full-variant evaluation for the reported energy (the inner steps
+        # run the force-only kernel)
+        state = prepare(pos, box, gvals, data)
+        slice_e, _, _ = apply_full(pos, box, gvals, data, state)
+        ov = jnp.maximum(ov, state["overflow"])
         lam = slice_lambdas(lam_source, gvals)
         energy = engine_mod.contract_energy(slice_e, lam)
         return pos, vel, energy, ov, dmax
