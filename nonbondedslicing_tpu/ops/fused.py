@@ -342,6 +342,7 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
                 grid_shape=cfg["pme_grid"], moduli=cfg["pme_moduli"],
                 bricks=bricks, slice_subset_pairs=slice_pairs,
                 slice_table=slice_table, interpret=interpret,
+                energies=energies,
                 eterm=(None if eterm0 is None else eterm0.astype(dtype)))
             slice_energies = slice_energies.at[:, COUL].add(e_k)
             slot_f = slot_f + _bricks_to_cells(f_kb, counts, bricks)
@@ -353,7 +354,7 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
                     grid_shape=cfg["dispersion_grid"],
                     moduli=cfg["dpme_moduli"], bricks=bricks,
                     slice_subset_pairs=slice_pairs, slice_table=slice_table,
-                    dispersion=True, interpret=interpret,
+                    dispersion=True, interpret=interpret, energies=energies,
                     eterm=(None if dterm0 is None else dterm0.astype(dtype)))
                 slice_energies = slice_energies.at[:, VDW].add(e_d)
                 slot_f = slot_f + _bricks_to_cells(f_db, counts, bricks)

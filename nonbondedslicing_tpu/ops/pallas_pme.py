@@ -232,7 +232,7 @@ def make_interp_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
 def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
                           moduli, bricks, slice_subset_pairs, slice_table,
                           dispersion=False, order=5, eterm=None,
-                          interpret=False, _cache={}):
+                          interpret=False, energies=True, _cache={}):
     """pme_bricks.pme_reciprocal_bricks with Pallas spread/interp stages.
 
     pos_b/q_b/soh_b are brick-major slot tensors (g_bricks, ., C_brick);
@@ -266,10 +266,14 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
         else:
             eterm = pme.coulomb_eterm(grid_shape, moduli, box, recip, alpha,
                                       dtype, half=True)
-    w = pme.rfft_energy_weights(nz, dtype)
     s_re, s_im = pme.rfft3_matmul(grid)
-    slice_energies = pme.pme_slice_energies_ri(
-        s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+    if energies:
+        w = pme.rfft_energy_weights(nz, dtype)
+        slice_energies = pme.pme_slice_energies_ri(
+            s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+    else:
+        nsl = np.asarray(slice_subset_pairs).shape[0]
+        slice_energies = jnp.zeros((nsl,), dtype)
     phi = pme.irfft3_matmul(s_re * eterm[None], s_im * eterm[None], grid_shape)
     lam_nn = lam_s[jnp.asarray(slice_table)]
     combined = jnp.einsum("st,txyz->sxyz", lam_nn, phi)
