@@ -123,3 +123,29 @@ def test_fused_overflow_reported():
     prepare, apply, cfg = out
     state = prepare(pos, box, gvals, data)
     assert int(state["overflow"]) > 0
+
+
+def test_fused_matches_oracle_bare_ewald():
+    """The fused engine's bare-Ewald (k-space sum) branch vs the oracle."""
+    system, force, positions = _system(nbs.SlicedNonbondedForce.Ewald,
+                                       n_mol=250, box=4.2)
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    pos = jnp.asarray(positions, dtype)
+    box = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()), dtype)
+    gvals = jnp.asarray([0.8], dtype)
+    oracle = engine_mod.make_compute(plan, True, True, neighbor="all_pairs")
+    e_o, f_o = oracle(pos, box, gvals, data)
+    out = fused.make_fused_engine(plan, interpret=True)
+    assert out is not None
+    prepare, apply, cfg = out
+    state = prepare(pos, box, gvals, data)
+    e_f, f_f, aux = apply(pos, box, gvals, data, state)
+    scale = float(jnp.max(jnp.abs(e_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_o),
+                               atol=2e-4 * scale)
+    fscale = float(jnp.max(jnp.abs(f_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_o),
+                               atol=2e-4 * fscale)
