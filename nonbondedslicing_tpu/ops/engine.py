@@ -20,8 +20,8 @@ plus LJPME dispersion PME) -> direct space -> exclusion corrections -> 1-4
 exceptions -> per-slice dispersion correction / volume.
 """
 
-import math
-from functools import partial
+
+
 
 import jax
 import jax.numpy as jnp

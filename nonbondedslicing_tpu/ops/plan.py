@@ -13,7 +13,7 @@ Everything that the reference bakes into GPU kernel source at runtime
 offset parameter never triggers recompilation.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np

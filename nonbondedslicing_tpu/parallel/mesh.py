@@ -27,14 +27,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ..models.force import NonbondedForce
 from ..ops import bonded, direct, engine, params, pme
 from ..ops.plan import EWALD_METHODS, Plan
 from ..utils.constants import COUL, VDW
-from ..utils.indexing import slice_subsets
 
 
 def make_sharded_compute(plan: Plan, mesh: Mesh, axis: str = "atoms",
