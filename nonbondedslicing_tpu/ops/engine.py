@@ -127,6 +127,27 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
     else:
         kvec_ints = None
 
+    # Multi-chip: atom-sharded PME spread/interp with a grid psum over ICI
+    # (parallel/pme_shard.py) — the reference keeps reciprocal space on one
+    # device (CommonNonbondedSlicingKernels.cpp:388,416,465); we scale it.
+    pme_sharded = None
+    dpme_sharded = None
+    if (shard is not None and include_reciprocal
+            and method in (NonbondedForce.PME, NonbondedForce.LJPME)):
+        from ..parallel.pme_shard import make_sharded_pme
+        smesh, saxis = shard
+        pairs_np = np.asarray(slice_subsets(nsub))
+        pme_sharded = make_sharded_pme(
+            smesh, saxis, n, alpha=plan.ewald_alpha, grid_shape=plan.pme_grid,
+            moduli=plan.pme_moduli, num_subsets=nsub,
+            slice_subset_pairs=pairs_np, slice_table=slice_table)
+        if method == NonbondedForce.LJPME:
+            dpme_sharded = make_sharded_pme(
+                smesh, saxis, n, alpha=plan.dispersion_alpha,
+                grid_shape=plan.dispersion_grid, moduli=plan.dpme_moduli,
+                num_subsets=nsub, slice_subset_pairs=pairs_np,
+                slice_table=slice_table, dispersion=True)
+
     # Box-static convolution kernels hoisted out of the per-step trace (MD
     # fastpath only — invalid if the runtime box differs from plan.box0).
     eterm0 = None
@@ -186,25 +207,34 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                 slice_energies = slice_energies.at[:, COUL].add(e_k)
                 forces = forces + f_k
             else:
-                e_k, f_k = pme.pme_reciprocal(
-                    positions, box, charge, subsets, lam_c,
-                    alpha=alpha, grid_shape=plan.pme_grid,
-                    moduli=plan.pme_moduli, num_subsets=nsub,
-                    slice_subset_pairs=slice_pairs, slice_table=slice_table,
-                    eterm=(None if eterm0 is None else eterm0.astype(dtype)))
+                if pme_sharded is not None:
+                    e_k, f_k = pme_sharded(positions, box, charge, subsets,
+                                           lam_c)
+                else:
+                    e_k, f_k = pme.pme_reciprocal(
+                        positions, box, charge, subsets, lam_c,
+                        alpha=alpha, grid_shape=plan.pme_grid,
+                        moduli=plan.pme_moduli, num_subsets=nsub,
+                        slice_subset_pairs=slice_pairs, slice_table=slice_table,
+                        eterm=(None if eterm0 is None
+                               else eterm0.astype(dtype)))
                 slice_energies = slice_energies.at[:, COUL].add(e_k)
                 forces = forces + f_k
                 if method == NonbondedForce.LJPME:
                     c6 = 8.0 * sig_half ** 3 * eps2
-                    e_d, f_d = pme.pme_reciprocal(
-                        positions, box, c6, subsets, lam_v,
-                        alpha=plan.dispersion_alpha,
-                        grid_shape=plan.dispersion_grid,
-                        moduli=plan.dpme_moduli, num_subsets=nsub,
-                        slice_subset_pairs=slice_pairs, slice_table=slice_table,
-                        dispersion=True,
-                        eterm=(None if dterm0 is None
-                               else dterm0.astype(dtype)))
+                    if dpme_sharded is not None:
+                        e_d, f_d = dpme_sharded(positions, box, c6, subsets,
+                                                lam_v)
+                    else:
+                        e_d, f_d = pme.pme_reciprocal(
+                            positions, box, c6, subsets, lam_v,
+                            alpha=plan.dispersion_alpha,
+                            grid_shape=plan.dispersion_grid,
+                            moduli=plan.dpme_moduli, num_subsets=nsub,
+                            slice_subset_pairs=slice_pairs,
+                            slice_table=slice_table, dispersion=True,
+                            eterm=(None if dterm0 is None
+                                   else dterm0.astype(dtype)))
                     slice_energies = slice_energies.at[:, VDW].add(e_d)
                     forces = forces + f_d
 

@@ -10,11 +10,13 @@ SPMD program:
   (positions replicated; the j-loop is the same tile sweep as single-chip),
   producing its shard of the force array and per-slice energy partials that
   are ``psum``-reduced over ICI.
-* reciprocal space (PME batched FFTs) and bonded terms are computed
-  replicated — they are a small fraction of the step at the target scale;
-  sharding the FFT batch over subsets is a planned optimization.  The
-  reference similarly keeps reciprocal space on one device
-  (CommonNonbondedSlicingKernels.cpp:388,416,465).
+* reciprocal space: PME/LJPME spread and force interpolation are sharded
+  over atoms with one charge-grid ``psum`` over ICI per term
+  (parallel/pme_shard.py); the batched FFT + convolution run replicated.
+  The reference keeps ALL reciprocal work on one device
+  (CommonNonbondedSlicingKernels.cpp:388,416,465) — we scale the
+  O(N·order³) parts of it.  Bare-Ewald k-sums and bonded terms stay
+  replicated.
 * exceptions/exclusions are round-robined across devices in the reference
   (:643-645); here they ride the replicated section.
 
@@ -81,10 +83,11 @@ def make_sharded_compute(plan: Plan, mesh: Mesh, axis: str = "atoms",
     rows_per_dev = -(-n // (n_devices * block)) * block
     n_pad = rows_per_dev * n_devices
 
-    # the replicated (recip + bonded + dispersion) part reuses the engine with
-    # direct space disabled
+    # reciprocal space reuses the engine with direct space disabled; the
+    # shard argument routes PME/LJPME through the atom-sharded pipeline
     recip_compute = engine.make_compute(plan, include_direct=False,
-                                        include_reciprocal=True)
+                                        include_reciprocal=True,
+                                        shard=(mesh, axis))
     slice_table = plan.slice_table
 
     def sharded_direct(positions, box, charge, sig_half, eps2, subsets,
