@@ -132,21 +132,29 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
     # device (CommonNonbondedSlicingKernels.cpp:388,416,465); we scale it.
     pme_sharded = None
     dpme_sharded = None
-    if (shard is not None and include_reciprocal
-            and method in (NonbondedForce.PME, NonbondedForce.LJPME)):
-        from ..parallel.pme_shard import make_sharded_pme
+    ewald_sharded = None
+    if shard is not None and include_reciprocal and is_ewald_family:
         smesh, saxis = shard
         pairs_np = np.asarray(slice_subsets(nsub))
-        pme_sharded = make_sharded_pme(
-            smesh, saxis, n, alpha=plan.ewald_alpha, grid_shape=plan.pme_grid,
-            moduli=plan.pme_moduli, num_subsets=nsub,
-            slice_subset_pairs=pairs_np, slice_table=slice_table)
-        if method == NonbondedForce.LJPME:
-            dpme_sharded = make_sharded_pme(
-                smesh, saxis, n, alpha=plan.dispersion_alpha,
-                grid_shape=plan.dispersion_grid, moduli=plan.dpme_moduli,
+        if method == NonbondedForce.Ewald:
+            from ..parallel.pme_shard import make_sharded_ewald
+            ewald_sharded = make_sharded_ewald(
+                smesh, saxis, n, kvec_ints=kvec_ints, alpha=plan.ewald_alpha,
+                num_subsets=nsub, num_slices=nslices,
+                slice_subset_pairs=pairs_np)
+        else:
+            from ..parallel.pme_shard import make_sharded_pme
+            pme_sharded = make_sharded_pme(
+                smesh, saxis, n, alpha=plan.ewald_alpha,
+                grid_shape=plan.pme_grid, moduli=plan.pme_moduli,
                 num_subsets=nsub, slice_subset_pairs=pairs_np,
-                slice_table=slice_table, dispersion=True)
+                slice_table=slice_table)
+            if method == NonbondedForce.LJPME:
+                dpme_sharded = make_sharded_pme(
+                    smesh, saxis, n, alpha=plan.dispersion_alpha,
+                    grid_shape=plan.dispersion_grid, moduli=plan.dpme_moduli,
+                    num_subsets=nsub, slice_subset_pairs=pairs_np,
+                    slice_table=slice_table, dispersion=True)
 
     # Box-static convolution kernels hoisted out of the per-step trace (MD
     # fastpath only — invalid if the runtime box differs from plan.box0).
@@ -200,10 +208,14 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
             slice_energies = slice_energies.at[:, COUL].add(w * qi * qj * factor)
             # ---- k-space
             if method == NonbondedForce.Ewald:
-                e_k, f_k = ewald.ewald_reciprocal(
-                    positions, box, charge, subsets, lam_c,
-                    kvec_ints=kvec_ints, alpha=alpha, num_subsets=nsub,
-                    num_slices=nslices, slice_subset_pairs=slice_pairs)
+                if ewald_sharded is not None:
+                    e_k, f_k = ewald_sharded(positions, box, charge, subsets,
+                                             lam_c)
+                else:
+                    e_k, f_k = ewald.ewald_reciprocal(
+                        positions, box, charge, subsets, lam_c,
+                        kvec_ints=kvec_ints, alpha=alpha, num_subsets=nsub,
+                        num_slices=nslices, slice_subset_pairs=slice_pairs)
                 slice_energies = slice_energies.at[:, COUL].add(e_k)
                 forces = forces + f_k
             else:

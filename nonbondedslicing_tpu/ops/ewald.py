@@ -11,6 +11,7 @@ lambda-combined per-atom weight ``Im(t_n(k) * conj(sum_j lam(s_n,j) S_j(k)))``.
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,8 +35,15 @@ def half_space_kvectors(kmax):
 
 
 def ewald_reciprocal(positions, box, charge, subsets, lam_coul_s, *,
-                     kvec_ints, alpha, num_subsets, num_slices, slice_subset_pairs):
-    """Returns (slice_coul_energies (S,), forces (N, 3))."""
+                     kvec_ints, alpha, num_subsets, num_slices,
+                     slice_subset_pairs, psum_axis=None):
+    """Returns (slice_coul_energies (S,), forces (N, 3)).
+
+    With ``psum_axis`` set, the call must be inside ``shard_map`` with the
+    particle arrays holding one atom shard per device: the per-subset
+    structure factors are all-reduced over the mesh axis, after which the
+    slice energies are computed replicated and the forces cover only the
+    local shard (parallel/pme_shard.py wraps this)."""
     dtype = positions.dtype
     n = positions.shape[0]
     recip_size = 2.0 * math.pi / jnp.stack([box[0, 0], box[1, 1], box[2, 2]])
@@ -53,6 +61,9 @@ def ewald_reciprocal(positions, box, charge, subsets, lam_coul_s, *,
     onehot = (subsets[:, None] == jnp.arange(num_subsets)[None, :]).astype(dtype)
     s_re = onehot.T @ t_re  # (nsub, K)
     s_im = onehot.T @ t_im
+    if psum_axis is not None:
+        s_re = jax.lax.psum(s_re, psum_axis)
+        s_im = jax.lax.psum(s_im, psum_axis)
 
     # slice energies: diag gets 1x, off-diag 2x (cpp:347-351)
     emat = (s_re * ak) @ s_re.T + (s_im * ak) @ s_im.T  # (nsub, nsub)

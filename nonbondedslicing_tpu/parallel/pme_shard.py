@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from ..ops import pme
+from ..ops import ewald, pme
 from ..ops.geometry import recip_box_vectors
 
 
@@ -93,6 +93,44 @@ def make_sharded_pme(mesh: Mesh, axis: str, num_particles: int, *,
                                          dtheta, recip, lam_nn, grid_shape,
                                          order)
             return slice_e, f_s
+
+        slice_e, forces = jax.shard_map(
+            device_fn, mesh=mesh, in_specs=(),
+            out_specs=(P(), P(axis)), check_vma=False)()
+        return slice_e, forces[:num_particles]
+
+    return run
+
+
+def make_sharded_ewald(mesh: Mesh, axis: str, num_particles: int, *,
+                       kvec_ints, alpha, num_subsets, num_slices,
+                       slice_subset_pairs):
+    """Bare-Ewald k-space sum sharded over atoms: each device computes the
+    (rows, K) phase matrix and per-subset structure-factor partials for its
+    shard, the (n_subsets, K) structure factors are psum-reduced over ICI,
+    then energies run replicated and forces cover the local shard only.
+    Same return contract as ops.ewald.ewald_reciprocal."""
+    n_devices = mesh.shape[axis]
+    rows = -(-num_particles // n_devices)
+    n_pad = rows * n_devices
+
+    def run(positions, box, charges, subsets, lam_s):
+        pad = n_pad - num_particles
+        pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
+        q_p = jnp.pad(charges, (0, pad))
+        sub_p = jnp.pad(subsets, (0, pad))
+
+        def device_fn():
+            dev = jax.lax.axis_index(axis)
+            start = dev * rows
+            pos_s = jax.lax.dynamic_slice_in_dim(pos_p, start, rows)
+            q_s = jax.lax.dynamic_slice_in_dim(q_p, start, rows)
+            sub_s = jax.lax.dynamic_slice_in_dim(sub_p, start, rows)
+            return ewald.ewald_reciprocal(
+                pos_s, box, q_s, sub_s, lam_s, kvec_ints=kvec_ints,
+                alpha=alpha, num_subsets=num_subsets, num_slices=num_slices,
+                slice_subset_pairs=jnp.asarray(slice_subset_pairs),
+                psum_axis=axis)
 
         slice_e, forces = jax.shard_map(
             device_fn, mesh=mesh, in_specs=(),

@@ -45,7 +45,8 @@ def _system(method, n_mol=32, box=3.0, seed=3):
 
 @pytest.mark.parametrize("method", [nbs.NonbondedForce.CutoffPeriodic,
                                     nbs.NonbondedForce.PME,
-                                    nbs.NonbondedForce.LJPME])
+                                    nbs.NonbondedForce.LJPME,
+                                    nbs.NonbondedForce.Ewald])
 def test_sharded_matches_single_device(method):
     system, force, positions = _system(method)
     plan = plan_mod.build_plan(force, system)
