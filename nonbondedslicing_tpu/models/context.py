@@ -154,6 +154,7 @@ class Context:
 
     def _initialize(self):
         self._compiled = {}
+        self._constraint_clusters = "unset"
         params = {}
         for force in self._system.getForces():
             if isinstance(force, SlicedNonbondedForce):
@@ -474,6 +475,7 @@ class Context:
                 bonds_periodic |= f.usesPeriodicBoundaryConditions()
         masses = np.array([self._system.getParticleMass(i)
                            for i in range(self._system.getNumParticles())])
+        constraints = self._clustered_constraints()
         reuse = 10
 
         def runner(steps):
@@ -490,6 +492,7 @@ class Context:
                     run = make_md_step(plan, masses, dt, dtype=comp.dtype,
                                        bonds=bonds,
                                        bonds_periodic=bonds_periodic,
+                                       constraints=constraints,
                                        reuse_steps=reuse)
                     comp._md_runs[reuse] = run
                 try:
@@ -508,6 +511,19 @@ class Context:
         comp._md_cache = (dt, runner)
         return runner
 
+    def _clustered_constraints(self):
+        """System constraints as (pairs, dists, mask) M-SHAKE clusters, or
+        None.  Cached per Context (constraints are structural)."""
+        cached = getattr(self, "_constraint_clusters", "unset")
+        if cached != "unset":
+            return cached
+        from ..runtime.constraints import cluster_constraints
+        cons = [self._system.getConstraintParameters(i)
+                for i in range(self._system.getNumConstraints())]
+        self._constraint_clusters = cluster_constraints(
+            cons, self._system.getNumParticles())
+        return self._constraint_clusters
+
     def _integrate(self, steps, dt):
         fast = self._fast_md_runner(dt)
         if fast is not None:
@@ -516,7 +532,25 @@ class Context:
         masses = np.array([self._system.getParticleMass(i)
                            for i in range(self._system.getNumParticles())])
         inv_m = np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300), 0.0)
+        constraints = self._clustered_constraints()
+        proj_x = proj_v = None
+        if constraints is not None:
+            from ..runtime.constraints import make_constrainer
+            proj_x, proj_v = make_constrainer(
+                constraints[0], constraints[1], masses,
+                self._system.getNumParticles(), dtype=self._dtype,
+                mask=constraints[2])
         for _ in range(steps):
             _, forces, _ = self._evaluate((1 << 32) - 1)
             self._velocities += dt * forces * inv_m[:, None]
-            self._positions += dt * self._velocities
+            if proj_x is None:
+                self._positions += dt * self._velocities
+            else:
+                # SHAKE/RATTLE around the leapfrog update (same staging as
+                # runtime/fastpath.py integrate())
+                pos = jnp.asarray(self._positions, self._dtype)
+                vel = jnp.asarray(self._velocities, self._dtype)
+                pos_new = proj_x(pos, pos + dt * vel)
+                vel = proj_v(pos_new, (pos_new - pos) / dt)
+                self._positions = np.asarray(pos_new, dtype=np.float64)
+                self._velocities = np.asarray(vel, dtype=np.float64)

@@ -209,6 +209,14 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         cell = neighbors.cell_ids(positions, box, counts)
         table, overflow = neighbors.build_occupancy(cell, n, counts, capacity)
         slots = table.reshape(-1)
+        if preshift:
+            # canonical in-box wrap consistent with the cell assignment above
+            # (cell_ids wraps with the same floor(frac) expression); apply()
+            # keeps drifted atoms in THIS image for the whole reuse window
+            frac0 = positions @ recip_box_vectors(box).astype(dtype)
+            pos0w = positions - jnp.floor(frac0) @ box
+        else:
+            pos0w = positions
 
         oh = (subsets[:, None]
               == jnp.arange(nsub, dtype=subsets.dtype)).astype(dtype)
@@ -235,7 +243,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             axis=1)                                            # (g, 14C)
         return dict(slots=slots, table=table, sfeat=sfeat, sexcl=sexcl,
                     cand_static=cand_static, cand_idx=cand_idx,
-                    pos0=positions, overflow=overflow.astype(jnp.int32))
+                    pos0=positions, pos0w=pos0w,
+                    overflow=overflow.astype(jnp.int32))
 
     def apply(positions, box, gvals, data, state):
         dtype = positions.dtype
@@ -253,13 +262,15 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
 
         # ---- the per-step gather: positions into slot order
         if preshift:
-            # the per-offset image shifts assume canonical in-box positions
-            # consistent with the cell assignment (an atom drifted past the
-            # box edge already sits on the neighbor's side); wrapping is
-            # exact for the pair deltas and a no-op for the PME fractional
-            # coordinates
-            frac = positions @ recip_box_vectors(box).astype(dtype)
-            pos_in = positions - jnp.floor(frac) @ box
+            # the baked per-offset image shifts assume positions in the SAME
+            # periodic image the cell assignment saw at prepare() time.
+            # Re-wrapping here would teleport an atom that crosses a box face
+            # during the reuse window one box length away from its frozen
+            # cell, silently dropping its in-range pairs — so keep each atom
+            # in its prepare-time image: wrapped prepare position + raw
+            # drift.  (PME is indifferent: fractional coordinates are
+            # re-wrapped per atom inside the spline kernels.)
+            pos_in = state["pos0w"] + (positions - state["pos0"])
         else:
             pos_in = positions
         pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)], axis=0)

@@ -36,7 +36,16 @@ def create_checkpoint(context) -> bytes:
 
 def load_checkpoint(context, blob: bytes) -> None:
     """Restore a Context's dynamic state from ``create_checkpoint`` output."""
-    data = np.load(io.BytesIO(blob), allow_pickle=False)
+    try:
+        data = np.load(io.BytesIO(blob), allow_pickle=False)
+        param_names = data["param_names"]
+    except ValueError as exc:
+        # pre-hardening checkpoints stored param_names with object dtype,
+        # which allow_pickle=False rejects with an opaque numpy error
+        raise OpenMMException(
+            "loadCheckpoint: this checkpoint predates the non-pickled "
+            "format (or is corrupted) and cannot be loaded safely; "
+            "re-create it with createCheckpoint()") from exc
     n = context.getSystem().getNumParticles()
     positions = data["positions"]
     if positions.shape != (n, 3):
@@ -46,6 +55,6 @@ def load_checkpoint(context, blob: bytes) -> None:
     context._positions = positions.copy()
     context._velocities = data["velocities"].copy()
     context._box = data["box"].copy()
-    for name, value in zip(data["param_names"], data["param_values"]):
+    for name, value in zip(param_names, data["param_values"]):
         if str(name) in context._parameters:
             context._parameters[str(name)] = float(value)

@@ -57,13 +57,74 @@ def _contiguous_triangles(pairs, n_particles):
     return bool(np.array_equal(pairs, expect))
 
 
+def cluster_constraints(constraints, n_particles):
+    """Group (i, j, distance) constraints into independent clusters of at
+    most three coupled constraints — the closed-form 3x3 block the M-SHAKE
+    solver inverts.  Clusters with fewer than three constraints are padded
+    with inert rows (pair (0, 0), distance 0, mask 0).
+
+    Returns (pairs (M, 3, 2) int32, dists (M, 3) f64, mask (M, 3) f64), or
+    None when ``constraints`` is empty.  Raises OpenMMException when any
+    connected set of constraints has more than three members (e.g. a rigid
+    4-site cluster) — not representable by the 3x3 block solver.
+    """
+    from ..models.force import OpenMMException
+
+    cons = [(int(i), int(j), float(d)) for i, j, d in constraints]
+    if not cons:
+        return None
+    parent = list(range(len(cons)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    atom_owner = {}
+    for k, (i, j, _) in enumerate(cons):
+        for a in (i, j):
+            if a in atom_owner:
+                ra, rk = find(atom_owner[a]), find(k)
+                if ra != rk:
+                    parent[rk] = ra
+            else:
+                atom_owner[a] = k
+    clusters = {}
+    for k in range(len(cons)):
+        clusters.setdefault(find(k), []).append(k)
+    pairs, dists, mask = [], [], []
+    for members in clusters.values():
+        if len(members) > 3:
+            raise OpenMMException(
+                f"A cluster of {len(members)} coupled constraints is not "
+                "supported by the TPU M-SHAKE solver (at most 3 coupled "
+                "constraints, e.g. a rigid 3-site water).")
+        p = [[cons[k][0], cons[k][1]] for k in members]
+        d = [cons[k][2] for k in members]
+        m = [1.0] * len(members)
+        while len(p) < 3:
+            p.append([0, 0])
+            d.append(0.0)
+            m.append(0.0)
+        pairs.append(p)
+        dists.append(d)
+        mask.append(m)
+    return (np.asarray(pairs, dtype=np.int32),
+            np.asarray(dists, dtype=np.float64),
+            np.asarray(mask, dtype=np.float64))
+
+
 def make_constrainer(pairs, dists, masses, n_particles, iterations=8,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, mask=None):
     pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
-    if _contiguous_triangles(pairs, n_particles):
+    if mask is not None and np.all(np.asarray(mask) == 1.0):
+        mask = None
+    if mask is None and _contiguous_triangles(pairs, n_particles):
         return _make_dense_triangle_constrainer(pairs, dists, masses,
                                                 iterations, dtype)
-    return _make_gather_constrainer(pairs, dists, masses, iterations, dtype)
+    return _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
+                                    mask=mask)
 
 
 def _solve3_rows(J, b):
@@ -158,13 +219,15 @@ def _make_dense_triangle_constrainer(pairs, dists, masses, iterations, dtype):
     return project_positions, project_velocities
 
 
-def _make_gather_constrainer(pairs, dists, masses, iterations, dtype):
+def _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
+                             mask=None):
     """Build position/velocity constraint projectors.
 
     pairs: (M, 3, 2) int — per-cluster constraint atom pairs (clusters of
-    exactly 3 constraints, e.g. rigid 3-site water: O-H1, O-H2, H1-H2).
-    dists: (M, 3) target distances.  Returns (project_positions,
-    project_velocities):
+    up to 3 coupled constraints, e.g. rigid 3-site water: O-H1, O-H2, H1-H2).
+    dists: (M, 3) target distances.  mask: optional (M, 3) with 0.0 marking
+    padded (inert) constraint rows in clusters of fewer than 3 constraints.
+    Returns (project_positions, project_velocities):
 
     project_positions(pos_ref, pos_new) -> pos_constrained
     project_velocities(pos, vel) -> vel_constrained
@@ -191,6 +254,25 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype):
                           - inv_mass[jk] * (jk == il)
                           + inv_mass[jk] * (jk == jl))
     s_mat = s.astype(np_dt)
+    if mask is not None:
+        # padded rows: unit diagonal + zero rhs -> lambda = 0 (inert), and
+        # zero coupling so they never perturb the real constraints
+        mask = np.asarray(mask, dtype=np.float64)
+        mm = (mask[:, :, None] * mask[:, None, :]).astype(np_dt)
+        jfill = (np.eye(3)[None] * (1.0 - mask[:, :, None])).astype(np_dt)
+        row_mask = mask.astype(np_dt)
+        # zero the padded pairs' inverse masses so _apply_lambda is a no-op
+        # for them even with nonzero lambda round-off
+        im_i = im_i * row_mask
+        im_j = im_j * row_mask
+    else:
+        mm = jfill = row_mask = None
+
+    def _mask_J(J):
+        return J if mm is None else J * mm + jfill
+
+    def _mask_rhs(r):
+        return r if row_mask is None else r * row_mask
 
     def _apply_lambda(pos, lam, r_dir):
         """pos -= invM * sum_k lam_k * grad sigma_k (grad = 2 r_dir)."""
@@ -209,8 +291,8 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype):
             sigma = jnp.sum(r_now * r_now, axis=-1) - d2          # (M, 3)
             # J[k, l] = 4 * s[k, l] * (r_now_k . r_ref_l)
             dots = jnp.einsum("mkx,mlx->mkl", r_now, r_ref)
-            J = 4.0 * s_mat * dots
-            lam = _solve3(J, sigma)
+            J = _mask_J(4.0 * s_mat * dots)
+            lam = _solve3(J, _mask_rhs(sigma))
             return _apply_lambda(pos, lam, r_ref)
 
         return jax.lax.fori_loop(0, iterations, body, pos_new)
@@ -219,9 +301,9 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype):
         """RATTLE stage: remove velocity components along constraints."""
         r_now = pos[i_idx] - pos[j_idx]
         v_rel = vel[i_idx] - vel[j_idx]
-        rhs = jnp.sum(r_now * v_rel, axis=-1)                     # (M, 3)
+        rhs = _mask_rhs(jnp.sum(r_now * v_rel, axis=-1))          # (M, 3)
         dots = jnp.einsum("mkx,mlx->mkl", r_now, r_now)
-        J = s_mat * dots
+        J = _mask_J(s_mat * dots)
         lam = _solve3(J, rhs)
         dv_i = lam[..., None] * r_now * im_i[..., None]
         dv_j = -lam[..., None] * r_now * im_j[..., None]

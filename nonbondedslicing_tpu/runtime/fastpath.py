@@ -103,9 +103,10 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     box0 = np.asarray(plan.box0, dtype=np.float64)
     if constraints is not None:
         from .constraints import make_constrainer
-        c_pairs, c_dists = constraints
+        c_pairs, c_dists = constraints[0], constraints[1]
+        c_mask = constraints[2] if len(constraints) > 2 else None
         proj_x, proj_v = make_constrainer(c_pairs, c_dists, masses, n,
-                                          dtype=dtype)
+                                          dtype=dtype, mask=c_mask)
     else:
         proj_x = proj_v = None
 
@@ -126,9 +127,10 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     _, apply_full, _ = eng_full         # energies for the end-of-run report
     skin = cfg["skin"]
     if reuse_steps is None:
-        # steps until a 4 nm/ps atom (≈ the 300 K Maxwell tail of ~16k
-        # hydrogens) covers half the skin; the in-trace guard still verifies
-        v_ref = 8.0  # ~max-of-20k-hydrogens Maxwell speed at 300 K
+        # steps until an 8 nm/ps atom (~2x the max-of-20k-hydrogens Maxwell
+        # speed at 300 K, i.e. a safety factor of 2 on the tail) covers half
+        # the skin; the in-trace guard still verifies every run
+        v_ref = 8.0
         reuse_steps = int(0.5 * skin / (dt * v_ref))
     K = min(25, max(1, int(reuse_steps)))
     disp_limit2 = (0.5 * skin) ** 2 if K > 1 else np.inf

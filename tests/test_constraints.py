@@ -96,3 +96,84 @@ def test_gather_path_matches_dense_path():
                                  iterations=12, dtype=jnp.float64)
     out_g = np.asarray(proj_g(jnp.asarray(pos0[perm]), jnp.asarray(pos1[perm])))
     np.testing.assert_allclose(out_g[inv], out_dense, atol=1e-12)
+
+
+def test_cluster_constraints_padding_and_rejection():
+    from nonbondedslicing_tpu.models.force import OpenMMException
+    from nonbondedslicing_tpu.runtime.constraints import cluster_constraints
+    import pytest
+
+    assert cluster_constraints([], 10) is None
+    # one lone pair + one triangle -> two clusters, the first padded
+    cons = [(4, 5, 0.1),
+            (0, 1, 0.09572), (0, 2, 0.09572), (1, 2, 0.15139)]
+    pairs, dists, mask = cluster_constraints(cons, 6)
+    assert pairs.shape == (2, 3, 2) and mask.shape == (2, 3)
+    by_count = sorted(mask.sum(axis=1))
+    assert by_count == [1.0, 3.0]
+    # a 4-constraint coupled cluster is rejected
+    bad = [(0, 1, 0.1), (1, 2, 0.1), (2, 3, 0.1), (3, 0, 0.1)]
+    with pytest.raises(OpenMMException):
+        cluster_constraints(bad, 4)
+
+
+def test_padded_cluster_projection():
+    """A lone-pair cluster (padded to the 3x3 block) must satisfy its
+    constraint without perturbing anything else."""
+    masses = np.array([12.0, 1.008, 12.0, 1.008])
+    pairs = np.array([[[0, 1], [0, 0], [0, 0]],
+                      [[2, 3], [0, 0], [0, 0]]])
+    dists = np.array([[0.109, 0.0, 0.0], [0.109, 0.0, 0.0]])
+    mask = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    pos0 = np.array([[0.0, 0.0, 0.0], [0.109, 0.0, 0.0],
+                     [1.0, 0.0, 0.0], [1.0, 0.109, 0.0]])
+    proj_x, proj_v = make_constrainer(pairs, dists, masses, 4,
+                                      iterations=12, dtype=jnp.float64,
+                                      mask=mask)
+    rng = np.random.default_rng(3)
+    pos1 = pos0 + rng.normal(scale=0.004, size=pos0.shape)
+    pos_c = np.asarray(proj_x(jnp.asarray(pos0), jnp.asarray(pos1)))
+    for (i, j) in ((0, 1), (2, 3)):
+        np.testing.assert_allclose(np.linalg.norm(pos_c[i] - pos_c[j]),
+                                   0.109, rtol=1e-9)
+    vel = rng.normal(scale=1.0, size=pos0.shape)
+    vel_c = np.asarray(proj_v(jnp.asarray(pos_c), jnp.asarray(vel)))
+    for (i, j) in ((0, 1), (2, 3)):
+        r = pos_c[i] - pos_c[j]
+        assert abs(np.dot(r, vel_c[i] - vel_c[j])) < 1e-10
+
+
+def test_context_step_applies_system_constraints():
+    """Regression: integrator.step() must honor System.addConstraint on
+    every integration path (previously both the fused fast path and the
+    host fallback silently integrated unconstrained)."""
+    import nonbondedslicing_tpu as nbs
+
+    d0 = 0.12
+    system = nbs.System()
+    force = nbs.SlicedNonbondedForce(1)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.NoCutoff)
+    rng = np.random.default_rng(11)
+    n_mol = 8
+    positions = []
+    for m in range(n_mol):
+        a = system.addParticle(12.0)
+        b = system.addParticle(1.008)
+        force.addParticle(-0.2, 0.3, 0.5)
+        force.addParticle(0.2, 0.1, 0.05)
+        force.addException(a, b, 0.0, 1.0, 0.0)
+        system.addConstraint(a, b, d0)
+        o = np.array([m % 2, (m // 2) % 2, m // 4]) * 1.2 + 0.3
+        positions.append(o + rng.normal(scale=0.02, size=3))
+        positions.append(o + [d0, 0.0, 0.0])
+    system.addForce(force)
+    integ = nbs.VerletIntegrator(0.001)
+    ctx = nbs.Context(system, integ)
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(300.0, seed=1)
+    integ.step(20)
+    pos = np.asarray(ctx.getState(getPositions=True).getPositions())
+    d = np.linalg.norm(pos[0::2] - pos[1::2], axis=-1)
+    # unconstrained integration drifts these by ~10-50%; the f32 M-SHAKE
+    # path holds them to ~1e-4
+    np.testing.assert_allclose(d, d0, rtol=1e-3)
