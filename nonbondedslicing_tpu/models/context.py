@@ -112,6 +112,7 @@ class _CompiledSliced:
         self.dtype = dtype
         self.data = self._cast(engine_mod.plan_data(self.plan))
         self._fns = {}
+        self.capacity_scale = 1
 
     def _cast(self, data):
         return {k: (v.astype(self.dtype) if v.dtype.kind == "f" else v)
@@ -123,11 +124,34 @@ class _CompiledSliced:
         # jitted fns close over static config only; structural config is
         # unchanged by updateParametersInContext, so caches stay valid
 
+    def cell_capacity(self):
+        """Static cell capacity after overflow-driven growth (None = the
+        engine default)."""
+        if self.capacity_scale == 1 or self.plan.box0 is None:
+            return None
+        from ..ops.neighbors import choose_cell_grid
+        cfg = choose_cell_grid(self.plan.box0, self.plan.cutoff,
+                               self.plan.num_particles)
+        if cfg is None:
+            return None
+        return min(cfg[1] * self.capacity_scale, self.plan.num_particles)
+
+    def grow_capacity(self):
+        """Double the cell capacity after an overflow (clustered system
+        denser than the uniform-density sizing).  Returns False once the
+        capacity already holds every particle (overflow impossible)."""
+        cap = self.cell_capacity()
+        if cap is not None and cap >= self.plan.num_particles:
+            return False
+        self.capacity_scale *= 2
+        return True
+
     def fn(self, include_direct, include_reciprocal):
-        key = (include_direct, include_reciprocal)
+        key = (include_direct, include_reciprocal, self.capacity_scale)
         if key not in self._fns:
-            compute = engine_mod.make_compute(self.plan, include_direct,
-                                              include_reciprocal)
+            compute = engine_mod.make_compute(
+                self.plan, include_direct, include_reciprocal,
+                cell_capacity=self.cell_capacity(), with_aux=True)
             self._fns[key] = jax.jit(compute)
         return self._fns[key]
 
@@ -155,6 +179,7 @@ class Context:
     def _initialize(self):
         self._compiled = {}
         self._constraint_clusters = "unset"
+        self._mol_ids = None
         params = {}
         for force in self._system.getForces():
             if isinstance(force, SlicedNonbondedForce):
@@ -337,11 +362,24 @@ class Context:
                     continue
                 self._check_box(force, comp)
                 self._check_exclusion_span(comp)
-                fn = comp.fn(include_direct, include_reciprocal)
                 positions = jnp.asarray(pos64, dtype=comp.dtype)
                 box = jnp.asarray(self._box, dtype=comp.dtype)
                 gvals = self._gvals(comp)
-                slice_e, forces = fn(positions, box, gvals, comp.data)
+                # cell-capacity overflow (clustered system denser than the
+                # uniform-density sizing) auto-grows the slot table and
+                # re-traces — never silently drop atoms (the reference's
+                # voxel hash is exact every call,
+                # ReferenceNonbondedSlicingKernels.cpp:197)
+                while True:
+                    fn = comp.fn(include_direct, include_reciprocal)
+                    slice_e, forces, aux = fn(positions, box, gvals,
+                                              comp.data)
+                    if int(aux["overflow"]) == 0:
+                        break
+                    if not comp.grow_capacity():
+                        raise OpenMMException(
+                            "Internal error: cell capacity covers all "
+                            "particles yet the occupancy table overflowed")
                 from ..ops.params import slice_lambdas
                 lam = slice_lambdas(comp.plan.lam_source, gvals)
                 total_energy += float(engine_mod.contract_energy(slice_e, lam))
@@ -379,6 +417,60 @@ class Context:
         np.add.at(f, j, dedr[:, None] * dr)
         return e, f
 
+    def _molecule_ids(self):
+        """Connected components over constraints, harmonic bonds, and
+        nonbonded exceptions — OpenMM's molecule definition for
+        enforcePeriodicBox.  Cached (structural)."""
+        cached = getattr(self, "_mol_ids", None)
+        if cached is not None:
+            return cached
+        n = self._system.getNumParticles()
+        parent = np.arange(n)
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        for i in range(self._system.getNumConstraints()):
+            a, b, _ = self._system.getConstraintParameters(i)
+            union(a, b)
+        for force in self._system.getForces():
+            if isinstance(force, HarmonicBondForce):
+                for i in range(force.getNumBonds()):
+                    a, b = force.getBondParameters(i)[:2]
+                    union(int(a), int(b))
+            elif isinstance(force, NonbondedForce):
+                for i in range(force.getNumExceptions()):
+                    a, b = force.getExceptionParameters(i)[:2]
+                    union(int(a), int(b))
+        roots = np.array([find(i) for i in range(n)])
+        _, mol = np.unique(roots, return_inverse=True)
+        self._mol_ids = mol
+        return mol
+
+    def _wrap_molecules(self, positions):
+        """Translate each molecule by whole box vectors so its geometric
+        center lies in the primary box (OpenMM enforcePeriodicBox
+        semantics: molecules stay whole)."""
+        mol = self._molecule_ids()
+        n_mol = int(mol.max()) + 1
+        counts = np.bincount(mol, minlength=n_mol)[:, None]
+        centers = np.zeros((n_mol, 3))
+        np.add.at(centers, mol, positions)
+        centers /= counts
+        frac = centers @ np.linalg.inv(self._box)
+        shift = np.floor(frac) @ self._box
+        return positions - shift[mol]
+
     def getState(self, getPositions=False, getVelocities=False, getForces=False,
                  getEnergy=False, getParameterDerivatives=False,
                  enforcePeriodicBox=False, groups=None):
@@ -387,8 +479,13 @@ class Context:
         derivs = {}
         if needs_compute:
             energy, forces, derivs = self._evaluate(self._group_mask(groups))
+        out_pos = None
+        if getPositions:
+            out_pos = self._positions
+            if enforcePeriodicBox:
+                out_pos = self._wrap_molecules(out_pos)
         return State(
-            positions=[tuple(p) for p in self._positions] if getPositions else None,
+            positions=[tuple(p) for p in out_pos] if getPositions else None,
             velocities=[tuple(v) for v in self._velocities] if getVelocities else None,
             forces=[tuple(f) for f in forces] if getForces else None,
             energy=energy if getEnergy else None,

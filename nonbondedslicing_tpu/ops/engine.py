@@ -60,7 +60,12 @@ _CELL_LIST_MIN_PARTICLES = 1024
 
 def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                  block_size=None, neighbor="auto", cell_capacity=None,
-                 hoist_eterm=False, shard=None):
+                 hoist_eterm=False, shard=None, with_aux=False):
+    """``with_aux=True`` returns f(...) -> (slice_energies, forces, aux)
+    where aux = {"overflow": int32} counts atoms silently outside the static
+    cell capacity (0 for engines without a cell list).  Callers evaluating
+    through a cell-list engine MUST check it — the reference's voxel hash is
+    exact every call (ReferenceNonbondedSlicingKernels.cpp:197)."""
     method = plan.method
     is_ewald_family = method in EWALD_METHODS
     n = plan.num_particles
@@ -250,10 +255,15 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                     slice_energies = slice_energies.at[:, VDW].add(e_d)
                     forces = forces + f_d
 
+        overflow = jnp.zeros((), jnp.int32)
         if include_direct:
-            e_dir, f_dir = direct_fn(positions, box, charge, sig_half, eps2,
-                                     subsets, data["exclusion_list"],
-                                     slice_table, lam_c, lam_v)
+            out = direct_fn(positions, box, charge, sig_half, eps2,
+                            subsets, data["exclusion_list"],
+                            slice_table, lam_c, lam_v)
+            if getattr(direct_fn, "returns_overflow", False):
+                e_dir, f_dir, overflow = out
+            else:
+                e_dir, f_dir = out
             slice_energies = slice_energies + e_dir
             forces = forces + f_dir
 
@@ -288,6 +298,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                 slice_energies = slice_energies.at[:, VDW].add(
                     data["dispersion_coefficients"].astype(dtype) / volume)
 
+        if with_aux:
+            return slice_energies, forces, {"overflow": overflow}
         return slice_energies, forces
 
     return compute

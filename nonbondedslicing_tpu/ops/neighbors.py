@@ -125,9 +125,16 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
                            shard_axis=None):
     """Cell-list variant of ``make_direct_space`` (periodic methods only).
 
-    Same signature as the all-pairs engine:
+    Signature (one aux output more than the all-pairs engine):
     f(positions, box, charge, sig_half, eps2, subsets, exclusion_list,
-      slice_table, lam_coul, lam_vdw) -> (slice_energies (S, 2), forces (N, 3))
+      slice_table, lam_coul, lam_vdw)
+      -> (slice_energies (S, 2), forces (N, 3), overflow int32)
+
+    ``overflow`` counts atoms beyond the static cell capacity — callers MUST
+    check it (the reference's voxel hash is exact every call,
+    ReferenceNonbondedSlicingKernels.cpp:197; dropping atoms silently is
+    never acceptable).  The function also carries ``returns_overflow=True``
+    so generic callers can distinguish it from the all-pairs engine.
 
     With ``mesh``/``shard_axis`` set, the pair stage is sharded over cells
     via ``shard_map`` (tile prep replicated; slice energies psum-reduced over
@@ -158,7 +165,7 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
         dtype = positions.dtype
         emax = exclusion_list.shape[1]
         cell = cell_ids(positions, box, counts)
-        table, _ = build_occupancy(cell, n, counts, capacity)
+        table, overflow = build_occupancy(cell, n, counts, capacity)
         slots = table.reshape(-1)  # (n_cells*capacity,), dummy = n
 
         # ---- the single gather: atom features into slot order
@@ -196,7 +203,8 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
                               ((0, pc), (0, 0), (0, 0)), constant_values=-1),
             cand_feat=jnp.pad(cand_feat, ((0, pc), (0, 0), (0, 0))),
             cand_idx=jnp.pad(cand_idx, ((0, pc), (0, 0)), constant_values=n),
-            slots=slots, nf=nf, emax=emax, pc=pc)
+            slots=slots, nf=nf, emax=emax, pc=pc,
+            overflow=overflow.astype(jnp.int32))
 
     def direct_space(positions, box, charge, sig_half, eps2, subsets,
                      exclusion_list, slice_table, lam_coul, lam_vdw):
@@ -288,8 +296,9 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
         slots_pad = jnp.pad(slots.reshape(n_cells, capacity),
                             ((0, pc), (0, 0)), constant_values=n).reshape(-1)
         forces = jnp.zeros((n + 1, 3), dtype).at[slots_pad].add(f_rows_all)
-        return slice_energies, forces[:n]
+        return slice_energies, forces[:n], tiles["overflow"]
 
+    direct_space.returns_overflow = True
     direct_space.prepare_tiles = prepare_tiles
     direct_space.config = dict(counts=counts, capacity=capacity,
                                n_cells=n_cells, n_cells_pad=n_cells_pad,

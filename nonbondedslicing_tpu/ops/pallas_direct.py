@@ -407,8 +407,8 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
     def _base_with_corrections(positions, box, charge, sig_half, eps2,
                                subsets, exclusion_list, slice_table, lam_coul,
                                lam_vdw):
-        e, f = base(positions, box, charge, sig_half, eps2, subsets,
-                    exclusion_list, slice_table, lam_coul, lam_vdw)
+        e, f, overflow = base(positions, box, charge, sig_half, eps2, subsets,
+                              exclusion_list, slice_table, lam_coul, lam_vdw)
         if mode == EWALD_DIRECT:
             from . import bonded
             e_x, f_x = bonded.exclusion_corrections(
@@ -419,7 +419,7 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
                 num_particles=positions.shape[0])
             e = e + e_x
             f = f + f_x
-        return e, f
+        return e, f, overflow
 
     def direct_space(positions, box, charge, sig_half, eps2, subsets,
                      exclusion_list, slice_table, lam_coul, lam_vdw):
@@ -441,7 +441,7 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
         # feature-major (cells, F, C) so the long atom axis rides the 128-lane
         # dimension (atoms-major would pad F~10 lanes to 128: 13x HBM blowup)
         cell = neighbors.cell_ids(positions, box, counts)
-        table, _ = neighbors.build_occupancy(cell, n, counts, capacity)
+        table, overflow = neighbors.build_occupancy(cell, n, counts, capacity)
         slots = table.reshape(-1)
         oh = (subsets[:, None]
               == jnp.arange(nsub, dtype=subsets.dtype)).astype(dtype)
@@ -500,7 +500,8 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
         slot_f = jnp.swapaxes(slot_f.reshape(n_cells, 3, capacity), 1, 2)
         forces = jnp.zeros((n + 1, 3), dtype).at[slots].add(
             slot_f.reshape(-1, 3))
-        return slice_energies, forces[:n]
+        return slice_energies, forces[:n], overflow.astype(jnp.int32)
 
+    direct_space.returns_overflow = True
     direct_space.handles_exclusions = mode == EWALD_DIRECT
     return direct_space

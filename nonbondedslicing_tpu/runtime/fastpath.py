@@ -209,26 +209,35 @@ def _make_md_step_simple(plan, integrate, dt, dtype, block_size, bond_forces,
     """Fallback: per-step rebuild via the generic engine (small / nonperiodic
     systems where the fused slot engine does not apply)."""
     compute = engine_mod.make_compute(plan, True, True, block_size=block_size,
-                                      cell_capacity=cell_capacity)
+                                      cell_capacity=cell_capacity,
+                                      with_aux=True)
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
     def run_scan(pos, vel, box, gvals, data, n_steps):
         def step(carry, _):
-            pos, vel = carry
-            _, forces = compute(pos, box, gvals, data)
+            pos, vel, ov = carry
+            _, forces, aux = compute(pos, box, gvals, data)
             if bond_forces is not None:
                 forces = forces + bond_forces(pos)
             pos, vel = integrate(pos, vel, forces)
-            return (pos, vel), None
+            return (pos, vel, jnp.maximum(ov, aux["overflow"])), None
 
-        (pos, vel), _ = jax.lax.scan(step, (pos, vel), None, length=n_steps)
-        slice_e, _ = compute(pos, box, gvals, data)
+        (pos, vel, ov), _ = jax.lax.scan(
+            step, (pos, vel, jnp.zeros((), jnp.int32)), None, length=n_steps)
+        slice_e, _, aux = compute(pos, box, gvals, data)
+        ov = jnp.maximum(ov, aux["overflow"])
         lam = slice_lambdas(lam_source, gvals)
         energy = engine_mod.contract_energy(slice_e, lam)
-        return pos, vel, energy
+        return pos, vel, energy, ov
 
     def run(pos, vel, box, gvals, data, n_steps):
-        return run_scan(pos, vel, box, gvals, data, int(n_steps))
+        pos, vel, energy, ov = run_scan(pos, vel, box, gvals, data,
+                                        int(n_steps))
+        if int(ov) > 0:
+            raise OpenMMException(
+                f"Cell-list capacity overflow ({int(ov)} atoms dropped) "
+                "during the MD scan. Rebuild with a larger cell_capacity.")
+        return pos, vel, energy
 
     run.config = dict(reuse_steps=1)
     return run

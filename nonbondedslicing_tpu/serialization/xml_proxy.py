@@ -106,60 +106,110 @@ class XmlSerializer:
 
     @staticmethod
     def deserialize(text: str) -> SlicedNonbondedForce:
-        node = ET.fromstring(text)
+        # property/section access mirrors the reference proxy exactly
+        # (SlicedNonbondedForceProxy.cpp:103-162): required properties and
+        # child nodes raise OpenMMException when absent; the documented
+        # optional ones fall back to their defaults.
+        def req(elem, attr, conv):
+            val = elem.get(attr)
+            if val is None:
+                raise OpenMMException(
+                    f"XmlSerializer: missing required property '{attr}'")
+            try:
+                return conv(val)
+            except ValueError as exc:
+                raise OpenMMException(
+                    f"XmlSerializer: malformed property '{attr}'") from exc
+
+        def opt(elem, attr, conv, default):
+            val = elem.get(attr)
+            if val is None:
+                return default
+            try:
+                return conv(val)
+            except ValueError as exc:
+                raise OpenMMException(
+                    f"XmlSerializer: malformed property '{attr}'") from exc
+
+        def child(elem, name):
+            c = elem.find(name)
+            if c is None:
+                raise OpenMMException(
+                    f"XmlSerializer: missing child node '{name}'")
+            return c
+
+        intbool = lambda s: bool(int(s))  # noqa: E731
+        try:
+            node = ET.fromstring(text)
+        except ET.ParseError as exc:
+            raise OpenMMException(
+                f"XmlSerializer: could not parse XML ({exc})") from exc
         if node.tag != "SlicedNonbondedForce":
             raise OpenMMException("XmlSerializer: unsupported object type")
-        if int(node.get("version")) != 1:
+        if req(node, "version", int) != 1:
             raise OpenMMException("Unsupported version number")
-        force = SlicedNonbondedForce(int(node.get("numSubsets")))
-        force.setForceGroup(int(node.get("forceGroup", "0")))
+        force = SlicedNonbondedForce(req(node, "numSubsets", int))
+        force.setForceGroup(opt(node, "forceGroup", int, 0))
         force.setName(node.get("name", force.getName()))
-        force.setNonbondedMethod(int(node.get("method")))
-        force.setCutoffDistance(float(node.get("cutoff")))
-        force.setUseSwitchingFunction(bool(int(node.get("useSwitchingFunction", "0"))))
-        force.setSwitchingDistance(float(node.get("switchingDistance", "-1.0")))
-        force.setEwaldErrorTolerance(float(node.get("ewaldTolerance")))
-        force.setReactionFieldDielectric(float(node.get("rfDielectric")))
-        force.setUseDispersionCorrection(bool(int(node.get("dispersionCorrection"))))
+        force.setNonbondedMethod(req(node, "method", int))
+        force.setCutoffDistance(req(node, "cutoff", float))
+        force.setUseSwitchingFunction(opt(node, "useSwitchingFunction",
+                                          intbool, False))
+        force.setSwitchingDistance(opt(node, "switchingDistance", float, -1.0))
+        force.setEwaldErrorTolerance(req(node, "ewaldTolerance", float))
+        force.setReactionFieldDielectric(req(node, "rfDielectric", float))
+        force.setUseDispersionCorrection(req(node, "dispersionCorrection",
+                                             intbool))
         if node.get("includeDirectSpace") is not None:
-            force.setIncludeDirectSpace(bool(int(node.get("includeDirectSpace"))))
-        force.setPMEParameters(float(node.get("alpha", "0.0")),
-                               int(node.get("nx", "0")), int(node.get("ny", "0")),
-                               int(node.get("nz", "0")))
-        force.setLJPMEParameters(float(node.get("ljAlpha", "0.0")),
-                                 int(node.get("ljnx", "0")), int(node.get("ljny", "0")),
-                                 int(node.get("ljnz", "0")))
-        force.setReciprocalSpaceForceGroup(int(node.get("recipForceGroup", "-1")))
-        for p in node.find("GlobalParameters"):
-            force.addGlobalParameter(p.get("name"), float(p.get("default")))
+            force.setIncludeDirectSpace(req(node, "includeDirectSpace",
+                                            intbool))
+        force.setPMEParameters(opt(node, "alpha", float, 0.0),
+                               opt(node, "nx", int, 0),
+                               opt(node, "ny", int, 0),
+                               opt(node, "nz", int, 0))
+        force.setLJPMEParameters(opt(node, "ljAlpha", float, 0.0),
+                                 opt(node, "ljnx", int, 0),
+                                 opt(node, "ljny", int, 0),
+                                 opt(node, "ljnz", int, 0))
+        force.setReciprocalSpaceForceGroup(opt(node, "recipForceGroup",
+                                               int, -1))
+        for p in child(node, "GlobalParameters"):
+            force.addGlobalParameter(req(p, "name", str),
+                                     req(p, "default", float))
         particle_offsets = []
-        for o in node.find("ParticleOffsets"):
-            particle_offsets.append((o.get("parameter"), int(o.get("particle")),
-                                     float(o.get("q")), float(o.get("sig")),
-                                     float(o.get("eps"))))
+        for o in child(node, "ParticleOffsets"):
+            particle_offsets.append(
+                (req(o, "parameter", str), req(o, "particle", int),
+                 req(o, "q", float), req(o, "sig", float),
+                 req(o, "eps", float)))
         exception_offsets = []
-        for o in node.find("ExceptionOffsets"):
-            exception_offsets.append((o.get("parameter"), int(o.get("exception")),
-                                      float(o.get("q")), float(o.get("sig")),
-                                      float(o.get("eps"))))
+        for o in child(node, "ExceptionOffsets"):
+            exception_offsets.append(
+                (req(o, "parameter", str), req(o, "exception", int),
+                 req(o, "q", float), req(o, "sig", float),
+                 req(o, "eps", float)))
         force.setExceptionsUsePeriodicBoundaryConditions(
-            bool(int(node.get("exceptionsUsePeriodic"))))
-        for p in node.find("Particles"):
-            force.addParticle(float(p.get("q")), float(p.get("sig")), float(p.get("eps")))
-        for e in node.find("Exceptions"):
-            force.addException(int(e.get("p1")), int(e.get("p2")), float(e.get("q")),
-                               float(e.get("sig")), float(e.get("eps")))
+            req(node, "exceptionsUsePeriodic", intbool))
+        for p in child(node, "Particles"):
+            force.addParticle(req(p, "q", float), req(p, "sig", float),
+                              req(p, "eps", float))
+        for e in child(node, "Exceptions"):
+            force.addException(req(e, "p1", int), req(e, "p2", int),
+                               req(e, "q", float), req(e, "sig", float),
+                               req(e, "eps", float))
         for args in particle_offsets:
             force.addParticleParameterOffset(*args)
         for args in exception_offsets:
             force.addExceptionParameterOffset(*args)
-        for s in node.find("Subsets"):
-            force.setParticleSubset(int(s.get("index")), int(s.get("subset")))
-        for s in node.find("scalingParameters"):
-            force.addScalingParameter(s.get("parameter"), int(s.get("subset1")),
-                                      int(s.get("subset2")),
-                                      bool(int(s.get("includeCoulomb"))),
-                                      bool(int(s.get("includeLJ"))))
-        for d in node.find("energyParameterDerivatives"):
-            force.addEnergyParameterDerivative(d.get("parameter"))
+        for s in child(node, "Subsets"):
+            force.setParticleSubset(req(s, "index", int),
+                                    req(s, "subset", int))
+        for s in child(node, "scalingParameters"):
+            force.addScalingParameter(req(s, "parameter", str),
+                                      req(s, "subset1", int),
+                                      req(s, "subset2", int),
+                                      req(s, "includeCoulomb", intbool),
+                                      req(s, "includeLJ", intbool))
+        for d in child(node, "energyParameterDerivatives"):
+            force.addEnergyParameterDerivative(req(d, "parameter", str))
         return force

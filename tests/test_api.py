@@ -4,6 +4,7 @@ serialization round trip.  Ports of testInstantiateFromNonbondedForce
 (python/tests/TestSlicedNonbondedForce.py:52-67), and the serialization test
 (serialization/tests/TestSerializeSlicedNonbondedForce.cpp:22-181)."""
 
+import numpy as np
 import pytest
 
 import nonbondedslicing_tpu as nbs
@@ -269,3 +270,97 @@ def test_validation_errors():
     force.addException(0, 1, 0.0, 1.0, 0.0)
     with pytest.raises(nbs.OpenMMException):
         force.addException(1, 0, 0.5, 1.0, 0.0)
+
+
+def test_deserialize_robustness():
+    """Malformed XML raises OpenMMException (not TypeError/ValueError),
+    mirroring the reference proxy's property access
+    (SlicedNonbondedForceProxy.cpp:103-162): required scalars and all child
+    sections must be present; documented-optional scalars have defaults."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    force = nbs.SlicedNonbondedForce(2)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.PME)
+    force.addParticle(0.1, 0.3, 0.5)
+    force.addParticle(-0.1, 0.3, 0.5)
+    force.addException(0, 1, 0.0, 1.0, 0.0)
+    force.addGlobalParameter("lam", 1.0)
+    force.addScalingParameter("lam", 0, 1, True, True)
+    xml = nbs.XmlSerializer.serialize(force)
+
+    # not XML at all
+    with pytest.raises(nbs.OpenMMException):
+        nbs.XmlSerializer.deserialize("<unclosed")
+    # wrong root tag
+    with pytest.raises(nbs.OpenMMException):
+        nbs.XmlSerializer.deserialize("<NonbondedForce version='1'/>")
+    # wrong version
+    with pytest.raises(nbs.OpenMMException):
+        nbs.XmlSerializer.deserialize(
+            re.sub(r'version="1"', 'version="2"', xml))
+
+    # dropping any child section raises OpenMMException
+    for section in ("GlobalParameters", "ParticleOffsets", "ExceptionOffsets",
+                    "Particles", "Exceptions", "Subsets", "scalingParameters",
+                    "energyParameterDerivatives"):
+        node = ET.fromstring(xml)
+        child = node.find(section)
+        node.remove(child)
+        with pytest.raises(nbs.OpenMMException):
+            nbs.XmlSerializer.deserialize(ET.tostring(node,
+                                                      encoding="unicode"))
+
+    # dropping a required scalar raises; dropping an optional one defaults
+    for attr, required in (("cutoff", True), ("method", True),
+                           ("ewaldTolerance", True), ("rfDielectric", True),
+                           ("dispersionCorrection", True),
+                           ("exceptionsUsePeriodic", True),
+                           ("forceGroup", False), ("recipForceGroup", False),
+                           ("useSwitchingFunction", False),
+                           ("switchingDistance", False), ("alpha", False)):
+        node = ET.fromstring(xml)
+        del node.attrib[attr]
+        text = ET.tostring(node, encoding="unicode")
+        if required:
+            with pytest.raises(nbs.OpenMMException):
+                nbs.XmlSerializer.deserialize(text)
+        else:
+            nbs.XmlSerializer.deserialize(text)
+
+    # malformed numeric raises OpenMMException, not ValueError
+    with pytest.raises(nbs.OpenMMException):
+        nbs.XmlSerializer.deserialize(
+            xml.replace('cutoff="', 'cutoff="not-a-number'))
+
+
+def test_enforce_periodic_box():
+    """getState(enforcePeriodicBox=True) wraps whole molecules into the
+    primary box; without it raw positions are returned."""
+    system = nbs.System()
+    system.setDefaultPeriodicBoxVectors((2, 0, 0), (0, 2, 0), (0, 0, 2))
+    force = nbs.SlicedNonbondedForce(1)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.NoCutoff)
+    for _ in range(4):
+        system.addParticle(1.0)
+        force.addParticle(0.0, 0.3, 0.1)
+    # two diatomic "molecules" via exceptions
+    force.addException(0, 1, 0.0, 1.0, 0.0)
+    force.addException(2, 3, 0.0, 1.0, 0.0)
+    system.addForce(force)
+    ctx = nbs.Context(system, nbs.VerletIntegrator(0.001))
+    # molecule A straddles the box face near 2.0 (must stay whole when
+    # wrapped); molecule B sits a full box above
+    pos = np.array([[1.95, 0.5, 0.5], [2.05, 0.5, 0.5],
+                    [0.5, 2.6, 0.5], [0.6, 2.7, 0.5]])
+    ctx.setPositions(pos)
+    raw = np.asarray(ctx.getState(getPositions=True).getPositions())
+    np.testing.assert_allclose(raw, pos)
+    wrapped = np.asarray(ctx.getState(getPositions=True,
+                                      enforcePeriodicBox=True).getPositions())
+    # A: center 2.0 -> wrapped down one box on x, staying whole
+    np.testing.assert_allclose(wrapped[0], [-0.05, 0.5, 0.5], atol=1e-12)
+    np.testing.assert_allclose(wrapped[1], [0.05, 0.5, 0.5], atol=1e-12)
+    # B: wrapped down one box on y
+    np.testing.assert_allclose(wrapped[2], [0.5, 0.6, 0.5], atol=1e-12)
+    np.testing.assert_allclose(wrapped[3], [0.6, 0.7, 0.5], atol=1e-12)

@@ -91,3 +91,50 @@ def test_no_overflow_on_uniform_system():
     overflow = neighbors.cell_overflow(jnp.asarray(positions),
                                        jnp.asarray(plan.box0), counts, capacity)
     assert int(overflow) == 0
+
+
+def test_clustered_system_overflow_autogrows_via_public_api():
+    """Regression (VERDICT r2): getState() on a clustered system used to
+    silently drop atoms beyond the static cell capacity (386 atoms dropped,
+    rel. energy error 1.0, no exception).  The Context now auto-grows the
+    slot table until the occupancy is exact, like the reference's voxel
+    hash (ReferenceNonbondedSlicingKernels.cpp:197)."""
+    rng = np.random.default_rng(3)
+    n = 1100  # >= the 1024 cell-list threshold
+    box = 6.0
+    system = nbs.System()
+    system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
+    force = nbs.SlicedNonbondedForce(2)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.PME)
+    force.setCutoffDistance(1.0)
+    positions = np.empty((n, 3))
+    for i in range(n):
+        system.addParticle(1.0)
+        force.addParticle(0.2 if i % 2 == 0 else -0.2, 0.25, 0.1)
+        force.setParticleSubset(i, i % 2)
+    # 400 atoms crammed into one cell-sized corner blob, the rest uniform
+    positions[:400] = 0.2 + rng.random((400, 3)) * 0.5
+    positions[400:] = rng.random((n - 400, 3)) * box
+    system.addForce(force)
+
+    ctx = nbs.Context(system, nbs.VerletIntegrator(0.001))
+    ctx.setPositions(positions)
+    st = ctx.getState(getEnergy=True, getForces=True)
+
+    # the default capacity must actually have been exceeded (else this test
+    # exercises nothing) and growth must have happened
+    comp = next(iter(ctx._compiled.values()))
+    assert comp.capacity_scale > 1
+
+    plan = plan_mod.build_plan(force, system)
+    data = {k: (v.astype(jnp.float32) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    oracle = engine_mod.make_compute(plan, True, True, neighbor="all_pairs")
+    e_sl, f_o = oracle(jnp.asarray(positions, jnp.float32),
+                       jnp.asarray(np.diag([box] * 3), jnp.float32),
+                       jnp.zeros((0,), jnp.float32), data)
+    e_o = float(jnp.sum(e_sl))
+    assert abs(st.getPotentialEnergy() - e_o) < 2e-4 * abs(e_o)
+    f = np.asarray(st.getForces())
+    fo = np.asarray(f_o)
+    assert np.max(np.abs(f - fo)) < 2e-3 * (np.max(np.abs(fo)) + 1.0)
