@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Slope-measured decomposition of the fused MD step at bench scale (r3).
+
+Each phase is timed inside a lax.scan with a real additive dependency (the
+only reliable protocol on the axon-tunneled TPU, docs/devnotes.md).  Unlike
+the round-2 table this isolates the candidate-ASSEMBLY cost (gather + 14
+position rolls + concats) from the Pallas pair kernel itself.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def slope_ms(make_step, x0, n1=6, n2=30):
+    @partial(jax.jit, static_argnums=(1,))
+    def run(x, n):
+        def body(c, _):
+            return make_step(c), None
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b.astype(jnp.float32)), out, 0.0)
+
+    for n in (n1, n2):
+        float(run(x0, n))
+    ts = {}
+    for n in (n1, n2, n1, n2):
+        t0 = time.perf_counter()
+        float(run(x0, n))
+        ts.setdefault(n, []).append(time.perf_counter() - t0)
+    return (min(ts[n2]) - min(ts[n1])) / (n2 - n1) * 1e3
+
+
+def main():
+    import bench
+    from nonbondedslicing_tpu.ops import engine as engine_mod
+    from nonbondedslicing_tpu.ops import fused as fused_mod
+    from nonbondedslicing_tpu.ops import plan as plan_mod
+    from nonbondedslicing_tpu.ops.pallas_direct import HALF_OFFSETS
+    from nonbondedslicing_tpu.ops.geometry import recip_box_vectors
+    from nonbondedslicing_tpu.runtime.constraints import make_constrainer
+
+    system, force, positions, box, bonds, constraints = bench.build_system()
+    state_file = os.path.join(os.path.dirname(__file__),
+                              "bench_state_rigid.npz")
+    if os.path.exists(state_file):
+        blob = np.load(state_file)
+        positions = blob["positions"]
+        velocities = blob["velocities"]
+    else:
+        velocities = np.zeros_like(positions)
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    n = plan.num_particles
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    pos = jnp.asarray(positions, dtype)
+    box_arr = jnp.asarray(np.diag([box, box, box]), dtype)
+    gvals = jnp.asarray([1.0, 1.0], dtype)
+
+    eng = fused_mod.make_fused_engine(plan, hoist_eterm=True, energies=False,
+                                      target_skin=0.1)
+    prepare, apply, cfg = eng
+    counts = cfg["counts"]
+    capacity = cfg["capacity"]
+    print(f"n={n} counts={counts} capacity={capacity} "
+          f"pme_grid={cfg['pme_grid']} bricks={cfg['bricks']}")
+
+    state = jax.jit(prepare)(pos, box_arr, gvals, data)
+    state = jax.device_put(state)
+
+    # ---- 1. full force-only apply
+    def step_apply(p):
+        _, f, _ = apply(p, box_arr, gvals, data, state)
+        return p + 1e-9 * f
+    print(f"apply (force-only, full): {slope_ms(step_apply, pos):8.3f} ms")
+
+    # ---- 2. prepare
+    def step_prepare(p):
+        st = prepare(p, box_arr, gvals, data)
+        return p + 1e-9 * st["sfeat"][:1, :3, :1].reshape(1, 3)
+    print(f"prepare:                  {slope_ms(step_prepare, pos):8.3f} ms")
+
+    # ---- 3. candidate-position assembly only (gather + wrap + 14 rolls +
+    #         concat, i.e. apply's per-step work upstream of the kernel)
+    ncx, ncy, ncz = counts
+    n_cells = ncx * ncy * ncz
+    slots = state["slots"]
+    _wrap = {}
+    for off in HALF_OFFSETS:
+        fac = []
+        for axis, (d, nc) in enumerate(zip(off, counts)):
+            fac.append(((np.arange(nc) + d) // nc).astype(np.float32))
+        _wrap[off] = fac
+
+    def step_assembly(p):
+        pos_in = state["pos0w"] + (p - state["pos0"])
+        pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)], axis=0)
+        pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
+                              1, 2)
+        grid_pos = pos_fm.reshape(ncx, ncy, ncz, 3, capacity)
+        blocks = []
+        for off in HALF_OFFSETS:
+            dx, dy, dz = off
+            rolled = jnp.roll(grid_pos, (-dx, -dy, -dz), axis=(0, 1, 2))
+            wx, wy, wz = _wrap[off]
+            shift = (jnp.asarray(wx, dtype)[:, None, None, None] * box_arr[0]
+                     + jnp.asarray(wy, dtype)[None, :, None, None] * box_arr[1]
+                     + jnp.asarray(wz, dtype)[None, None, :, None] * box_arr[2])
+            rolled = rolled + shift[..., None]
+            blocks.append(rolled.reshape(n_cells, 3, capacity))
+        cand_pos = jnp.concatenate(blocks, axis=2)
+        rows_feat = jnp.concatenate([pos_fm, state["sfeat"]], axis=1)
+        cand_feat = jnp.concatenate([cand_pos, state["cand_static"]], axis=1)
+        return p + 1e-12 * (jnp.sum(cand_feat[:1, :3, :1])
+                            + jnp.sum(rows_feat[:1, :3, :1]))
+    print(f"  cand assembly only:     {slope_ms(step_assembly, pos):8.3f} ms")
+
+    # ---- 4. PME reciprocal alone (slot inputs fixed)
+    from nonbondedslicing_tpu.ops import pallas_pme
+    from nonbondedslicing_tpu.utils.indexing import slice_subsets
+    bricks = cfg["bricks"]
+    spairs = np.asarray(slice_subsets(plan.num_subsets))
+    sfeat = state["sfeat"]
+    q_b0 = fused_mod._cells_to_bricks(sfeat, counts, bricks)[:, 0, :]
+    soh_b0 = fused_mod._cells_to_bricks(sfeat, counts, bricks)[:, 3:6, :]
+    from nonbondedslicing_tpu.ops import pme as pme_mod
+    eterm0 = pme_mod.coulomb_eterm_np(cfg["pme_grid"], cfg["pme_moduli"],
+                                      plan.box0, plan.ewald_alpha,
+                                      half=True).astype(np.float32)
+    lam = jnp.ones((plan.num_slices,), dtype)
+
+    def step_pme(p):
+        pos_p = jnp.concatenate([p, jnp.zeros((1, 3), dtype)], axis=0)
+        pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
+                              1, 2)
+        pos_b = fused_mod._cells_to_bricks(pos_fm, counts, bricks)
+        e_k, f_kb = pallas_pme.pme_reciprocal_pallas(
+            pos_b, q_b0, soh_b0, box_arr, lam, alpha=plan.ewald_alpha,
+            grid_shape=cfg["pme_grid"], moduli=cfg["pme_moduli"],
+            bricks=bricks, slice_subset_pairs=spairs,
+            slice_table=plan.slice_table, energies=False,
+            eterm=jnp.asarray(eterm0))
+        f = fused_mod._bricks_to_cells(f_kb, counts, bricks)
+        return p + 1e-9 * jnp.zeros((n, 3), dtype).at[slots].add(
+            f.reshape(-1, 3))[:n]
+    print(f"  PME reciprocal:         {slope_ms(step_pme, pos):8.3f} ms")
+
+    # ---- 5. constraints + integration
+    masses = np.array([system.getParticleMass(i) for i in range(n)])
+    c_pairs, c_dists = constraints
+    proj_x, proj_v = make_constrainer(c_pairs, c_dists, masses, n,
+                                      dtype=dtype)
+    inv_m = jnp.asarray(
+        np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300), 0.0),
+        dtype)[:, None]
+    vel = jnp.asarray(velocities, dtype)
+
+    def step_constr(p):
+        v = vel + 0.002 * inv_m * 1e-3
+        pn = proj_x(p, p + 0.002 * v)
+        v2 = proj_v(pn, (pn - p) / 0.002)
+        return pn + 1e-9 * v2
+    print(f"  SHAKE/RATTLE+integ:     {slope_ms(step_constr, pos):8.3f} ms")
+
+    # ---- 6. exclusions + 1-4 + self/plasma (row layout)
+    from nonbondedslicing_tpu.ops import bonded
+    from nonbondedslicing_tpu.ops.params import particle_params
+    charge, sig_half, eps2 = particle_params(data, gvals)
+    subsets = data["subsets"]
+    m_mol = n // 3
+    sl_tab = jnp.asarray(plan.slice_table)
+    sub3 = subsets.reshape(m_mol, 3)
+    pair_slices = jnp.stack([sl_tab[sub3[:, 0], sub3[:, 1]],
+                             sl_tab[sub3[:, 0], sub3[:, 2]],
+                             sl_tab[sub3[:, 1], sub3[:, 2]]], axis=1)
+    lam_s = jnp.ones((plan.num_slices,), dtype)
+
+    def step_excl(p):
+        e_x, f_x = bonded.exclusion_corrections_rows(
+            p, charge, sig_half, eps2, pair_slices, lam_s, lam_s,
+            alpha=plan.ewald_alpha, ljpme=False, dispersion_alpha=0.0,
+            num_slices=plan.num_slices)
+        return p + 1e-9 * f_x
+    print(f"  excl rows:              {slope_ms(step_excl, pos):8.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,22 @@ to the values OpenMM's published algorithm produces:
   grid   = max(ceil(2*alpha*d / (3*tol^0.2)), 6)    (LJPME drops the 2)
 
 and check the in-context queries report them.
+
+External provenance of the PINNED values: this environment has neither
+OpenMM installed nor network access, so pins cannot be captured from an
+OpenMM run.  Instead, ``_rederive_pin`` below recomputes every tuple from
+the formulas OpenMM publishes (OpenMM User Guide, "Nonbonded Interactions":
+alpha and the d_i = 2*alpha*d/(3*tol^(1/5)) mesh rule; the Ewald error
+estimate err(k) = k*sqrt(d*alpha)/20 * exp(-(pi*k/(d*alpha))^2) from
+NonbondedForceImpl::ewaldErrorEstimate) using ONLY the ``math`` module — it
+shares no code with nonbondedslicing_tpu.utils.ewald_params, including the
+zero-finding strategy (plain walk-up vs findZero's walk-down from 10).
+``test_pins_rederived_standalone`` asserts the two independent
+implementations agree on every pinned tuple, so a transcription error in
+either implementation fails the suite.
 """
+
+import math
 
 import numpy as np
 import pytest
@@ -27,6 +42,33 @@ PINNED = [
     (0.9, 1e-5, 6.0, 3.6548257097, 27, 147, 74),
     (1.0, 5e-4, 3.0, 2.6282608849, 7, 25, 13),
 ]
+
+
+def _rederive_pin(cutoff, tol, d):
+    """Standalone (math-only) recomputation of one pinned tuple from the
+    published OpenMM formulas; deliberately shares nothing with the
+    implementation under test."""
+    alpha = math.sqrt(-math.log(2.0 * tol)) / cutoff
+    grid = int(math.ceil(2.0 * alpha * d / (3.0 * tol ** 0.2)))
+    ljgrid = int(math.ceil(alpha * d / (3.0 * tol ** 0.2)))
+
+    def err(k):
+        t = k * math.pi / (d * alpha)
+        return k * math.sqrt(d * alpha) / 20.0 * math.exp(-t * t)
+
+    k = 1
+    while err(k) >= tol:
+        k += 1
+    kmax = k if k % 2 == 1 else k + 1  # OpenMM bumps kmax to odd
+    return alpha, kmax, grid, ljgrid
+
+
+@pytest.mark.parametrize("cutoff,tol,box,alpha,kmax,grid,ljgrid", PINNED)
+def test_pins_rederived_standalone(cutoff, tol, box, alpha, kmax, grid,
+                                   ljgrid):
+    a2, k2, g2, lg2 = _rederive_pin(cutoff, tol, box)
+    assert abs(a2 - alpha) < 1e-9
+    assert (k2, g2, lg2) == (kmax, grid, ljgrid)
 
 
 @pytest.mark.parametrize("cutoff,tol,box,alpha,kmax,grid,ljgrid", PINNED)
