@@ -38,7 +38,7 @@ def slope_ms(make_step, x0, n1=6, n2=30):
     return (min(ts[n2]) - min(ts[n1])) / (n2 - n1) * 1e3
 
 
-def main():
+def main(which="all"):
     import bench
     from nonbondedslicing_tpu.ops import engine as engine_mod
     from nonbondedslicing_tpu.ops import fused as fused_mod
@@ -77,16 +77,20 @@ def main():
     state = jax.device_put(state)
 
     # ---- 1. full force-only apply
-    def step_apply(p):
-        _, f, _ = apply(p, box_arr, gvals, data, state)
-        return p + 1e-9 * f
-    print(f"apply (force-only, full): {slope_ms(step_apply, pos):8.3f} ms")
+    if which in ("all", "apply"):
+        def step_apply(p):
+            _, f, _ = apply(p, box_arr, gvals, data, state)
+            return p + 1e-9 * f
+        print(f"apply (force-only, full): {slope_ms(step_apply, pos):8.3f} ms",
+              flush=True)
 
     # ---- 2. prepare
-    def step_prepare(p):
-        st = prepare(p, box_arr, gvals, data)
-        return p + 1e-9 * st["sfeat"][:1, :3, :1].reshape(1, 3)
-    print(f"prepare:                  {slope_ms(step_prepare, pos):8.3f} ms")
+    if which in ("all", "prepare"):
+        def step_prepare(p):
+            st = prepare(p, box_arr, gvals, data)
+            return p + 1e-9 * st["sfeat"][:1, :3, :1].reshape(1, 3)
+        print(f"prepare:                  {slope_ms(step_prepare, pos):8.3f} ms",
+              flush=True)
 
     # ---- 3. candidate-position assembly only (gather + wrap + 14 rolls +
     #         concat, i.e. apply's per-step work upstream of the kernel)
@@ -121,7 +125,9 @@ def main():
         cand_feat = jnp.concatenate([cand_pos, state["cand_static"]], axis=1)
         return p + 1e-12 * (jnp.sum(cand_feat[:1, :3, :1])
                             + jnp.sum(rows_feat[:1, :3, :1]))
-    print(f"  cand assembly only:     {slope_ms(step_assembly, pos):8.3f} ms")
+    if which in ("all", "assembly"):
+        print(f"  cand assembly only:     {slope_ms(step_assembly, pos):8.3f} ms",
+              flush=True)
 
     # ---- 4. PME reciprocal alone (slot inputs fixed)
     from nonbondedslicing_tpu.ops import pallas_pme
@@ -151,7 +157,9 @@ def main():
         f = fused_mod._bricks_to_cells(f_kb, counts, bricks)
         return p + 1e-9 * jnp.zeros((n, 3), dtype).at[slots].add(
             f.reshape(-1, 3))[:n]
-    print(f"  PME reciprocal:         {slope_ms(step_pme, pos):8.3f} ms")
+    if which in ("all", "pme"):
+        print(f"  PME reciprocal:         {slope_ms(step_pme, pos):8.3f} ms",
+              flush=True)
 
     # ---- 5. constraints + integration
     masses = np.array([system.getParticleMass(i) for i in range(n)])
@@ -168,7 +176,9 @@ def main():
         pn = proj_x(p, p + 0.002 * v)
         v2 = proj_v(pn, (pn - p) / 0.002)
         return pn + 1e-9 * v2
-    print(f"  SHAKE/RATTLE+integ:     {slope_ms(step_constr, pos):8.3f} ms")
+    if which in ("all", "constr"):
+        print(f"  SHAKE/RATTLE+integ:     {slope_ms(step_constr, pos):8.3f} ms",
+              flush=True)
 
     # ---- 6. exclusions + 1-4 + self/plasma (row layout)
     from nonbondedslicing_tpu.ops import bonded
@@ -189,8 +199,10 @@ def main():
             alpha=plan.ewald_alpha, ljpme=False, dispersion_alpha=0.0,
             num_slices=plan.num_slices)
         return p + 1e-9 * f_x
-    print(f"  excl rows:              {slope_ms(step_excl, pos):8.3f} ms")
+    if which in ("all", "excl"):
+        print(f"  excl rows:              {slope_ms(step_excl, pos):8.3f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")

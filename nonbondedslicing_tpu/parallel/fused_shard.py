@@ -1,0 +1,551 @@
+"""Production multi-chip MD: spatially-sharded fused step under shard_map.
+
+The reference's multi-GPU path splits only the direct-space pair loop across
+per-device contexts driven by host work threads, keeps reciprocal space on
+device 0, and sums energies on the host
+(CudaParallelNonbondedSlicingKernels.cpp:19-66;
+CommonNonbondedSlicingKernels.cpp:388,416,465,643-645).  This module is the
+TPU-native superset: ONE SPMD program containing the whole K-step MD block
+loop, with
+
+* **spatial decomposition**: the neighbor-cell grid is sliced into x-slabs;
+  each device gathers and rolls candidate tiles ONLY for its slab (+1-cell
+  halo), so the expensive half-shell candidate build scales 1/D instead of
+  being replicated (the round-2 engine's weakness).
+* **atom-range sharded reciprocal space**: PME spread/interpolation run on
+  each device's atom range with one charge-grid ``psum`` over ICI per term
+  (parallel/pme_shard.make_pme_device_term); FFT + convolution replicated
+  (standard within-pod PME decomposition — they are O(G log G) next to the
+  O(N·125) spread/interp).  Bare Ewald shards its structure factors the
+  same way (ops/ewald.py psum_axis).
+* **sharded bonded terms**: 1-4 exceptions by exception range; rigid-water
+  triangle exclusion corrections by molecule range; both ride the same
+  force psum.  (Generic exclusion topologies fall back to replicated.)
+* **one (N, 3) force psum per step** combines everything: every atom is
+  owned by exactly one device's slab for the pair terms, and halo /
+  Newton-reaction contributions land on other devices' atoms through the
+  same reduction.
+* integration + M-SHAKE/RATTLE constraints run replicated after the psum
+  (cheap elementwise work on replicated state; sharding them would buy an
+  all_gather instead of nothing).
+
+Safety matches runtime/fastpath.py: in-trace cell-capacity overflow and
+skin-violation accumulators checked on the host after the scan.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..models.force import NonbondedForce, OpenMMException
+from ..ops import bonded, direct, engine as engine_mod, neighbors, params
+from ..ops.geometry import min_image
+from ..ops.pallas_direct import HALF_OFFSETS
+from ..ops.plan import EWALD_METHODS
+from ..utils.constants import COUL, EPSILON0, ONE_4PI_EPS0, SQRT_PI, VDW
+from ..utils.indexing import slice_subsets
+from .pme_shard import make_pme_device_term
+
+
+def make_sharded_md_step(plan, masses, dt, mesh: Mesh, axis: str = "x",
+                         dtype=jnp.float32, constraints=None,
+                         reuse_steps=None, cell_capacity=None,
+                         target_skin=0.1):
+    """Build run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy)
+    executing the whole MD block loop as one SPMD program over ``mesh``.
+
+    Leapfrog Verlet with optional M-SHAKE/RATTLE ``constraints``
+    ((pairs, dists) or (pairs, dists, mask) clusters).  The neighbor/slot
+    state is rebuilt every ``reuse_steps`` steps inside the scan (per-shard,
+    like runtime/fastpath.py on one chip).  Raises OpenMMException after the
+    run on cell-capacity overflow or skin violation.
+    """
+    method = plan.method
+    if plan.box0 is None or method in (NonbondedForce.NoCutoff,
+                                       NonbondedForce.CutoffNonPeriodic):
+        raise OpenMMException(
+            "make_sharded_md_step requires a periodic cutoff method")
+    is_ewald_family = method in EWALD_METHODS
+    is_pme = method in (NonbondedForce.PME, NonbondedForce.LJPME)
+    cfg = neighbors.choose_cell_grid(plan.box0, plan.cutoff,
+                                     plan.num_particles,
+                                     target_skin=target_skin)
+    if cfg is None:
+        raise OpenMMException(
+            "make_sharded_md_step: box too small for a cell grid")
+    counts, capacity = cfg
+    if cell_capacity is not None:
+        capacity = int(cell_capacity)
+    widths = neighbors._perpendicular_widths(plan.box0) / np.asarray(counts)
+    skin = max(float(np.min(widths)) - plan.cutoff, 0.0)
+    ncx, ncy, ncz = counts
+    C = capacity
+    n = plan.num_particles
+    nsub = plan.num_subsets
+    nslices = plan.num_slices
+    slice_table = plan.slice_table
+    spairs_np = np.asarray(slice_subsets(nsub))
+    emax = plan.exclusion_list.shape[1]
+    D = mesh.shape[axis]
+    sx = -(-ncx // D)                       # x-slabs per device
+    n_own_cells = sx * ncy * ncz
+    cells_per_chunk = max(1, 512 // C)
+    pc = (-n_own_cells) % cells_per_chunk   # pad cells to a chunk multiple
+    n_cells_pad = n_own_cells + pc
+
+    eps_rf = plan.rf_dielectric
+    krf = plan.cutoff ** -3 * (eps_rf - 1.0) / (2.0 * eps_rf + 1.0)
+    crf = (1.0 / plan.cutoff) * (3.0 * eps_rf) / (2.0 * eps_rf + 1.0)
+    mode = direct.EWALD_DIRECT if is_ewald_family else direct.CUTOFF
+    pair_terms = direct.make_pair_terms(
+        mode=mode, cutoff=plan.cutoff, krf=krf, crf=crf,
+        use_switch=plan.use_switch, switch_distance=plan.switch_distance,
+        ewald_alpha=plan.ewald_alpha,
+        ljpme=(method == NonbondedForce.LJPME),
+        dispersion_alpha=plan.dispersion_alpha)
+
+    # sharded reciprocal terms (atom ranges)
+    pme_term = dpme_term = None
+    ewald_kvecs = None
+    if is_pme:
+        rows_pme, n_pad_pme, pme_term = make_pme_device_term(
+            axis, D, n, alpha=plan.ewald_alpha, grid_shape=plan.pme_grid,
+            moduli=plan.pme_moduli, num_subsets=nsub,
+            slice_subset_pairs=spairs_np, slice_table=slice_table)
+        if method == NonbondedForce.LJPME:
+            _, _, dpme_term = make_pme_device_term(
+                axis, D, n, alpha=plan.dispersion_alpha,
+                grid_shape=plan.dispersion_grid, moduli=plan.dpme_moduli,
+                num_subsets=nsub, slice_subset_pairs=spairs_np,
+                slice_table=slice_table, dispersion=True)
+    elif method == NonbondedForce.Ewald:
+        from ..ops import ewald as ewald_mod
+        ewald_kvecs = ewald_mod.half_space_kvectors(plan.ewald_kmax)
+        rows_pme = -(-n // D)
+        n_pad_pme = rows_pme * D
+
+    # rigid-water triangle exclusions -> molecule-range sharding
+    tri_excl = None
+    if is_ewald_family and not plan.exceptions_periodic:
+        tri_excl = bonded.triangle_exclusions(plan.exclusion_pairs, n)
+    n_mol3 = n // 3 if tri_excl is not None else 0
+    mrows = -(-n_mol3 // D) if tri_excl is not None else 0
+
+    # 1-4 range sharding ((0,0)-padded pairs contribute exactly zero)
+    n_14 = int(plan.nb14_atoms.shape[0])
+    rows_14 = -(-max(n_14, 1) // D)
+
+    masses = np.asarray(masses, dtype=np.float64)
+    inv_m = np.where(masses > 0, 1.0 / np.maximum(masses, 1e-300),
+                     0.0).astype(np.dtype(jnp.dtype(dtype).name))[:, None]
+    if constraints is not None:
+        from ..runtime.constraints import make_constrainer
+        c_mask = constraints[2] if len(constraints) > 2 else None
+        proj_x, proj_v = make_constrainer(constraints[0], constraints[1],
+                                          masses, n, dtype=dtype,
+                                          mask=c_mask)
+    else:
+        proj_x = proj_v = None
+
+    if reuse_steps is None:
+        v_ref = 8.0                          # runtime/fastpath.py heuristic
+        reuse_steps = int(0.5 * skin / (dt * v_ref)) if skin > 0 else 1
+    K = min(25, max(1, int(reuse_steps)))
+    disp_limit2 = (0.5 * skin) ** 2 if K > 1 else np.inf
+    lam_source = plan.lam_source
+
+    def _slab_gather(arr_p, idx_ext):
+        """Gather per-atom rows (padded array) into extended-slab slot
+        order: (sx+2, ncy, ncz, C, F)."""
+        out = arr_p[idx_ext.reshape(-1)]
+        return out.reshape((sx + 2, ncy, ncz, C) + arr_p.shape[1:])
+
+    def _half_shell(ext):
+        """(sx+2, ncy, ncz, C, F) extended slab -> (n_own_cells, 14C, F)
+        candidate tensor: x offsets by static halo slicing, y/z by periodic
+        rolls (the slab's y/z extents are the full box)."""
+        blocks = []
+        for (dx, dy, dz) in HALF_OFFSETS:
+            s = ext[1 + dx:1 + dx + sx]
+            s = jnp.roll(s, (-dy, -dz), axis=(1, 2))
+            blocks.append(s.reshape(n_own_cells, C, -1))
+        return jnp.concatenate(blocks, axis=1)
+
+    def prepare_local(positions, box, gvals, data, dev):
+        """Per-device slab state (the analog of ops/fused.prepare)."""
+        subsets = data["subsets"]
+        charge, sig_half, eps2 = params.particle_params(data, gvals)
+        cell = neighbors.cell_ids(positions, box, counts)
+        table, overflow = neighbors.build_occupancy(cell, n, counts, C)
+        grid_idx = table.reshape(ncx, ncy, ncz, C)
+        xs = jnp.remainder(dev * sx - 1 + jnp.arange(sx + 2), ncx)
+        idx_ext = jnp.take(grid_idx, xs, axis=0)        # (sx+2,ncy,ncz,C)
+        oh = (subsets[:, None]
+              == jnp.arange(nsub, dtype=subsets.dtype)).astype(dtype)
+        feat = jnp.concatenate([charge[:, None], sig_half[:, None],
+                                eps2[:, None], oh], axis=1)
+        feat_p = jnp.concatenate([feat, jnp.zeros((1, feat.shape[1]), dtype)],
+                                 axis=0)
+        sfeat_ext = _slab_gather(feat_p, idx_ext)
+        cand_static = _half_shell(sfeat_ext)            # (own, 14C, F)
+        rows_static = sfeat_ext[1:1 + sx].reshape(n_own_cells, C, -1)
+        rows_idx = idx_ext[1:1 + sx].reshape(n_own_cells, C)
+        cand_idx = _half_shell(idx_ext[..., None])[..., 0]  # (own, 14C)
+        excl_p = jnp.concatenate(
+            [data["exclusion_list"],
+             jnp.full((1, emax), -1, data["exclusion_list"].dtype)], axis=0)
+        rows_excl = excl_p[rows_idx.reshape(-1)].reshape(n_own_cells, C, emax)
+        # ownership: devices whose slabs wrap past ncx (ncx % D != 0 or
+        # ncx < D) hold duplicate cells that must not contribute
+        owned = (dev * sx + jnp.arange(sx)) < ncx       # (sx,)
+        owned_cell = jnp.repeat(owned, ncy * ncz)       # (own,)
+        return dict(idx_ext=idx_ext, rows_static=rows_static,
+                    cand_static=cand_static, rows_idx=rows_idx,
+                    cand_idx=cand_idx, rows_excl=rows_excl,
+                    owned_cell=owned_cell,
+                    overflow=overflow.astype(jnp.int32), pos0=positions)
+
+    def _pair_stage(pos_ext, state, box, lam_c_nn, lam_v_nn, energies):
+        """Chunked half-shell pair sweep over the device's own cells.
+        Same tile math as ops/neighbors.make_cell_direct_space (cited there
+        against kernels/coulombLennardJones.cc), half-shell + Newton like
+        ops/pallas_direct.py.  Returns (moment matrices or None, forces
+        scattered over the padded atom axis)."""
+        rows_pos = pos_ext[1:1 + sx].reshape(n_own_cells, C, 3)
+        cand_pos = _half_shell(pos_ext)                  # (own, 14C, 3)
+        rows_feat = state["rows_static"]
+        cand_feat = state["cand_static"]
+        rows_idx = state["rows_idx"]
+        cand_idx = state["cand_idx"]
+        rows_excl = state["rows_excl"]
+        owned = state["owned_cell"]
+        ncand = 14 * C
+
+        def padc(x, fill=0):
+            return jnp.pad(x, ((0, pc),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=fill)
+
+        rows_pos_p = padc(rows_pos)
+        cand_pos_p = padc(cand_pos)
+        rows_feat_p = padc(rows_feat)
+        cand_feat_p = padc(cand_feat)
+        rows_idx_p = padc(rows_idx, n)
+        cand_idx_p = padc(cand_idx, n)
+        rows_excl_p = padc(rows_excl, -1)
+        owned_p = padc(owned.astype(dtype))
+        cutoff2 = jnp.asarray(plan.cutoff ** 2, dtype)
+        g = cells_per_chunk
+
+        def chunk_fn(c0):
+            rp = jax.lax.dynamic_slice(rows_pos_p, (c0, 0, 0), (g, C, 3))
+            cp = jax.lax.dynamic_slice(cand_pos_p, (c0, 0, 0), (g, ncand, 3))
+            rf = jax.lax.dynamic_slice(rows_feat_p, (c0, 0, 0),
+                                       (g, C, rows_feat.shape[2]))
+            cf = jax.lax.dynamic_slice(cand_feat_p, (c0, 0, 0),
+                                       (g, ncand, cand_feat.shape[2]))
+            ri = jax.lax.dynamic_slice(rows_idx_p, (c0, 0), (g, C))
+            ci = jax.lax.dynamic_slice(cand_idx_p, (c0, 0), (g, ncand))
+            re = jax.lax.dynamic_slice(rows_excl_p, (c0, 0, 0), (g, C, emax))
+            ow = jax.lax.dynamic_slice(owned_p, (c0,), (g,))
+
+            dr = rp[:, :, None, :] - cp[:, None, :, :]
+            dr = min_image(dr, box)
+            r2 = jnp.sum(dr * dr, axis=-1)               # (g, C, 14C)
+            # half-shell once-rule: self block (first C cols) visits each
+            # in-cell pair once (pallas_direct.py:133-138)
+            col_k = jax.lax.broadcasted_iota(jnp.int32, (C, ncand), 1)
+            once = (col_k[None] >= C) | (ri[:, :, None] < ci[:, None, :])
+            mask = (ri[:, :, None] < n) & (ci[:, None, :] < n)
+            mask &= once & (r2 < cutoff2)
+            excluded = jnp.any(ci[:, None, :, None] == re[:, :, None, :],
+                               axis=-1)
+            mask &= ~excluded
+            mask &= ow[:, None, None] > 0
+
+            r2s = jnp.where(mask, r2, jnp.ones((), dtype))
+            rinv = jax.lax.rsqrt(r2s)
+            qq = rf[:, :, None, 0] * cf[:, None, :, 0]
+            e_c, e_v, dedr_c, dedr_v = pair_terms(
+                r2s, rinv, rf[:, :, None, 1], cf[:, None, :, 1],
+                rf[:, :, None, 2], cf[:, None, :, 2], qq)
+            oh_i = rf[..., 3:3 + nsub]
+            oh_j = cf[..., 3:3 + nsub]
+            lam_cp = jnp.einsum("gcs,st,gjt->gcj", oh_i, lam_c_nn, oh_j)
+            lam_vp = jnp.einsum("gcs,st,gjt->gcj", oh_i, lam_v_nn, oh_j)
+            factor = jnp.where(mask, lam_vp * dedr_v + lam_cp * dedr_c, 0.0)
+            f_pairs = factor[..., None] * dr
+            f_rows = jnp.sum(f_pairs, axis=2)            # (g, C, 3)
+            f_cols = -jnp.sum(f_pairs, axis=1)           # (g, 14C, 3)
+            if not energies:
+                return f_rows.reshape(-1, 3), f_cols.reshape(-1, 3)
+            e_c = jnp.where(mask, e_c, 0.0)
+            e_v = jnp.where(mask, e_v, 0.0)
+            mc = jnp.einsum("gca,gcj,gjb->ab", oh_i, e_c, oh_j)
+            mv = jnp.einsum("gca,gcj,gjb->ab", oh_i, e_v, oh_j)
+            return f_rows.reshape(-1, 3), f_cols.reshape(-1, 3), mc, mv
+
+        starts = jnp.arange(0, n_cells_pad, g)
+        parts = jax.lax.map(chunk_fn, starts)
+        forces = jnp.zeros((n + 1, 3), dtype)
+        forces = forces.at[rows_idx_p.reshape(-1)].add(
+            parts[0].reshape(-1, 3))
+        forces = forces.at[cand_idx_p.reshape(-1)].add(
+            parts[1].reshape(-1, 3))
+        if not energies:
+            return None, forces
+        mc = jnp.sum(parts[2], axis=0)
+        mv = jnp.sum(parts[3], axis=0)
+        a, b = spairs_np[:, 0], spairs_np[:, 1]
+        # half-shell: each unordered pair counted once -> no 1/2 weights
+        ec = jnp.where(a == b, mc[a, a], mc[a, b] + mc[b, a])
+        ev = jnp.where(a == b, mv[a, a], mv[a, b] + mv[b, a])
+        slice_e = jnp.zeros((nslices, 2), dtype)
+        slice_e = slice_e.at[:, COUL].add(ec).at[:, VDW].add(ev)
+        return slice_e, forces
+
+    def _side_terms(positions, box, gvals, data, dev, energies):
+        """Sharded reciprocal + bonded terms; replicated self/plasma.
+        Forces are returned on the (n+1)-padded atom axis; energies (when
+        requested) are per-device partials to be psum'd with the rest."""
+        subsets = data["subsets"]
+        charge, sig_half, eps2 = params.particle_params(data, gvals)
+        lam = params.slice_lambdas(lam_source, gvals)
+        lam_c, lam_v = lam[:, COUL], lam[:, VDW]
+        slice_e = jnp.zeros((nslices, 2), dtype)
+        forces = jnp.zeros((n + 1, 3), dtype)
+        inv_d = jnp.asarray(1.0 / D, dtype)
+
+        if is_ewald_family:
+            pad = n_pad_pme - n
+            pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
+            q_p = jnp.pad(charge, (0, pad))
+            sub_p = jnp.pad(subsets, (0, pad))
+            def add_range(forces, f_s, start):
+                """Scatter a device's contiguous atom-range forces into the
+                padded global array (traced start -> dynamic_update_slice)."""
+                f_full = jax.lax.dynamic_update_slice_in_dim(
+                    jnp.zeros((n_pad_pme, 3), dtype), f_s, start, 0)
+                return forces.at[:n].add(f_full[:n])
+
+            if is_pme:
+                e_k, f_s, start = pme_term(pos_p, box, q_p, sub_p, lam_c,
+                                           dev, energies=energies)
+                forces = add_range(forces, f_s, start)
+                if energies:
+                    # per-slice k-space energies are replicated after the
+                    # grid psum; divide so the later psum counts them once
+                    slice_e = slice_e.at[:, COUL].add(e_k * inv_d)
+                if dpme_term is not None:
+                    c6_p = jnp.pad(8.0 * sig_half ** 3 * eps2, (0, pad))
+                    e_d, f_d, start = dpme_term(pos_p, box, c6_p, sub_p,
+                                                lam_v, dev, energies=energies)
+                    forces = add_range(forces, f_d, start)
+                    if energies:
+                        slice_e = slice_e.at[:, VDW].add(e_d * inv_d)
+            else:
+                from ..ops import ewald as ewald_mod
+                start = dev * rows_pme
+                e_k, f_s = ewald_mod.ewald_reciprocal(
+                    jax.lax.dynamic_slice_in_dim(pos_p, start, rows_pme),
+                    box, jax.lax.dynamic_slice_in_dim(q_p, start, rows_pme),
+                    jax.lax.dynamic_slice_in_dim(sub_p, start, rows_pme),
+                    lam_c, kvec_ints=ewald_kvecs, alpha=plan.ewald_alpha,
+                    num_subsets=nsub, num_slices=nslices,
+                    slice_subset_pairs=jnp.asarray(spairs_np),
+                    psum_axis=axis)
+                forces = add_range(forces, f_s, start)
+                if energies:
+                    slice_e = slice_e.at[:, COUL].add(e_k * inv_d)
+
+            if energies:
+                # self + plasma (replicated math / D): ops/fused.py:322-345,
+                # ReferenceSlicedLJCoulombIxn.cpp:203-221
+                alpha = plan.ewald_alpha
+                onehot = (subsets[:, None]
+                          == jnp.arange(nsub)[None, :]).astype(dtype)
+                diag_ids = np.array([s * (s + 3) // 2 for s in range(nsub)])
+                self_coul = -ONE_4PI_EPS0 * charge * charge * alpha / SQRT_PI
+                slice_e = slice_e.at[diag_ids, COUL].add(
+                    (self_coul @ onehot) * inv_d)
+                if method == NonbondedForce.LJPME:
+                    self_vdw = (plan.dispersion_alpha ** 6 * 64.0
+                                * sig_half ** 6 * eps2 ** 2 / 12.0)
+                    slice_e = slice_e.at[diag_ids, VDW].add(
+                        (self_vdw @ onehot) * inv_d)
+                volume = box[0, 0] * box[1, 1] * box[2, 2]
+                q_sub = charge @ onehot
+                factor = (-1.0 / (4.0 * alpha * alpha)) / (2.0 * EPSILON0
+                                                           * volume)
+                qi = q_sub[spairs_np[:, 0]]
+                qj = q_sub[spairs_np[:, 1]]
+                w = jnp.where(spairs_np[:, 0] == spairs_np[:, 1],
+                              1.0, 2.0).astype(dtype)
+                slice_e = slice_e.at[:, COUL].add(w * qi * qj * factor
+                                                  * inv_d)
+
+            # exclusion corrections: molecule-range sharded for the rigid
+            # triangle layout; replicated fallback otherwise
+            if tri_excl is not None:
+                sl_tab = jnp.asarray(slice_table)
+                pad_m = mrows * D - n_mol3
+                pos_m = jnp.pad(positions, ((0, 3 * pad_m), (0, 0)))
+                q_m = jnp.pad(charge, (0, 3 * pad_m))
+                sh_m = jnp.pad(sig_half, (0, 3 * pad_m))
+                ep_m = jnp.pad(eps2, (0, 3 * pad_m))
+                sub_m = jnp.pad(subsets, (0, 3 * pad_m))
+                a0 = dev * mrows * 3
+                pos_s = jax.lax.dynamic_slice_in_dim(pos_m, a0, 3 * mrows)
+                sub3 = jax.lax.dynamic_slice_in_dim(
+                    sub_m, a0, 3 * mrows).reshape(mrows, 3)
+                pair_slices = jnp.stack(
+                    [sl_tab[sub3[:, 0], sub3[:, 1]],
+                     sl_tab[sub3[:, 0], sub3[:, 2]],
+                     sl_tab[sub3[:, 1], sub3[:, 2]]], axis=1)
+                e_x, f_x = bonded.exclusion_corrections_rows(
+                    pos_s, jax.lax.dynamic_slice_in_dim(q_m, a0, 3 * mrows),
+                    jax.lax.dynamic_slice_in_dim(sh_m, a0, 3 * mrows),
+                    jax.lax.dynamic_slice_in_dim(ep_m, a0, 3 * mrows),
+                    pair_slices, lam_c, lam_v, alpha=plan.ewald_alpha,
+                    ljpme=(method == NonbondedForce.LJPME),
+                    dispersion_alpha=plan.dispersion_alpha,
+                    num_slices=nslices)
+                f_pad = jnp.zeros((3 * mrows * D, 3), dtype)
+                f_pad = jax.lax.dynamic_update_slice_in_dim(f_pad, f_x, a0,
+                                                            axis=0)
+                forces = forces.at[:n].add(f_pad[:n])
+                if energies:
+                    slice_e = slice_e + e_x
+            elif len(plan.exclusion_pairs) > 0:
+                e_x, f_x = bonded.exclusion_corrections(
+                    positions, box, data["exclusion_pairs"], charge,
+                    sig_half, eps2, subsets, slice_table, lam_c, lam_v,
+                    alpha=plan.ewald_alpha,
+                    periodic_exceptions=plan.exceptions_periodic,
+                    ljpme=(method == NonbondedForce.LJPME),
+                    dispersion_alpha=plan.dispersion_alpha,
+                    num_slices=nslices, num_particles=n)
+                forces = forces.at[:n].add(f_x * inv_d)
+                if energies:
+                    slice_e = slice_e + e_x * inv_d
+
+        # 1-4 exceptions by range ((0,0)-padded rows contribute zero)
+        if n_14 > 0:
+            sigma14, four_eps14, qq14 = params.nb14_params(data, gvals)
+            pad14 = rows_14 * D - n_14
+            at_p = jnp.pad(data["nb14_atoms"], ((0, pad14), (0, 0)))
+            sl_p = jnp.pad(data["nb14_slice"], (0, pad14))
+            s_p = jnp.pad(sigma14, (0, pad14))
+            fe_p = jnp.pad(four_eps14, (0, pad14))
+            qq_p = jnp.pad(qq14, (0, pad14))
+            a0 = dev * rows_14
+            e_14, f_14 = bonded.nb14_interactions(
+                positions, box,
+                jax.lax.dynamic_slice_in_dim(at_p, a0, rows_14),
+                jax.lax.dynamic_slice_in_dim(s_p, a0, rows_14),
+                jax.lax.dynamic_slice_in_dim(fe_p, a0, rows_14),
+                jax.lax.dynamic_slice_in_dim(qq_p, a0, rows_14),
+                jax.lax.dynamic_slice_in_dim(sl_p, a0, rows_14),
+                lam_c, lam_v, periodic=plan.exceptions_periodic,
+                num_slices=nslices, num_particles=n)
+            forces = forces.at[:n].add(f_14)
+            if energies:
+                slice_e = slice_e + e_14
+
+        if energies and method in (NonbondedForce.CutoffPeriodic,
+                                   NonbondedForce.Ewald, NonbondedForce.PME):
+            volume = box[0, 0] * box[1, 1] * box[2, 2]
+            slice_e = slice_e.at[:, VDW].add(
+                data["dispersion_coefficients"].astype(dtype) / volume
+                * inv_d)
+        return slice_e, forces
+
+    def _forces_local(positions, box, gvals, data, state, dev, energies):
+        lam = params.slice_lambdas(lam_source, gvals)
+        sl_tab = jnp.asarray(slice_table)
+        lam_c_nn = lam[:, COUL][sl_tab]
+        lam_v_nn = lam[:, VDW][sl_tab]
+        pos_p = jnp.concatenate([positions, jnp.zeros((1, 3), dtype)],
+                                axis=0)
+        pos_ext = _slab_gather(pos_p, state["idx_ext"])
+        e_pair, f = _pair_stage(pos_ext, state, box, lam_c_nn, lam_v_nn,
+                                energies)
+        e_side, f_side = _side_terms(positions, box, gvals, data, dev,
+                                     energies)
+        f = (f + f_side)[:n]
+        slice_e = e_side if e_pair is None else e_pair + e_side
+        disp = positions - state["pos0"]
+        maxdisp2 = jnp.max(jnp.sum(disp * disp, axis=-1))
+        return slice_e, f, maxdisp2
+
+    def integrate(pos, vel, forces):
+        vel = vel + dt * forces * inv_m
+        if proj_x is None:
+            return pos + dt * vel, vel
+        pos_new = proj_x(pos, pos + dt * vel)
+        vel = (pos_new - pos) / dt
+        return pos_new, proj_v(pos_new, vel)
+
+    @partial(jax.jit, static_argnums=(5, 6))
+    def run_scan(pos, vel, box, gvals, data, n_outer, rem):
+        def device_fn():
+            dev = jax.lax.axis_index(axis)
+
+            def inner(carry, _):
+                pos, vel, dmax, state = carry
+                _, f_local, md2 = _forces_local(pos, box, gvals, data,
+                                                state, dev, False)
+                forces = jax.lax.psum(f_local, axis)
+                pos, vel = integrate(pos, vel, forces)
+                return (pos, vel, jnp.maximum(dmax, md2), state), None
+
+            def block(pos, vel, ov, dmax, k):
+                state = prepare_local(pos, box, gvals, data, dev)
+                (pos, vel, dmax, _), _ = jax.lax.scan(
+                    inner, (pos, vel, dmax, state), None, length=k)
+                return pos, vel, jnp.maximum(ov, state["overflow"]), dmax
+
+            def outer(carry, _):
+                pos_, vel_, ov, dmax = carry
+                return block(pos_, vel_, ov, dmax, K), None
+
+            zero = jnp.zeros((), dtype)
+            (p, v, ov, dmax), _ = jax.lax.scan(
+                outer, (pos, vel, jnp.zeros((), jnp.int32), zero), None,
+                length=n_outer)
+            if rem:
+                p, v, ov, dmax = block(p, v, ov, dmax, rem)
+            state = prepare_local(p, box, gvals, data, dev)
+            slice_e, _, _ = _forces_local(p, box, gvals, data, state, dev,
+                                          True)
+            slice_e = jax.lax.psum(slice_e, axis)
+            ov = jnp.maximum(ov, state["overflow"])
+            return p, v, slice_e, ov, dmax
+
+        p, v, slice_e, ov, dmax = jax.shard_map(
+            device_fn, mesh=mesh, in_specs=(),
+            out_specs=(P(), P(), P(), P(), P()), check_vma=False)()
+        lam = params.slice_lambdas(lam_source, gvals)
+        return p, v, engine_mod.contract_energy(slice_e, lam), ov, dmax
+
+    def run(pos, vel, box, gvals, data, n_steps):
+        pos, vel, energy, ov, dmax = run_scan(pos, vel, box, gvals, data,
+                                              int(n_steps) // K,
+                                              int(n_steps) % K)
+        if int(ov) > 0:
+            raise OpenMMException(
+                f"Cell-list capacity overflow ({int(ov)} atoms dropped) in "
+                "the sharded MD scan. Rebuild with a larger cell_capacity.")
+        if float(dmax) > disp_limit2:
+            raise OpenMMException(
+                "Neighbor-list skin violation in the sharded MD scan: an "
+                f"atom moved {float(dmax) ** 0.5:.4f} nm between rebuilds "
+                f"(> skin/2 = {0.5 * skin:.4f} nm). Reduce reuse_steps.")
+        return pos, vel, energy
+
+    run.config = dict(reuse_steps=K, skin=skin, counts=counts,
+                      capacity=capacity, slabs_per_device=sx, devices=D)
+    return run

@@ -31,6 +31,71 @@ from ..ops import ewald, pme
 from ..ops.geometry import recip_box_vectors
 
 
+def make_pme_device_term(axis: str, n_devices: int, num_particles: int, *,
+                         alpha, grid_shape, moduli, num_subsets,
+                         slice_subset_pairs, slice_table, dispersion=False,
+                         order=5):
+    """Device-side sliced-PME term for use INSIDE an existing ``shard_map``
+    body over ``axis``: spread the local atom-range shard, psum the charge
+    grids over ICI, replicated FFT + convolution (+ optional per-slice
+    energies), interpolate forces for the local shard only.
+
+    Returns (rows, n_pad, f) where
+    f(pos_p (n_pad, 3), box, q_p, sub_p, lam_s, dev, energies=True)
+      -> (slice_energies (S,) or None, forces_shard (rows, 3), start)
+    with pos_p/q_p/sub_p replicated padded arrays and ``dev`` the caller's
+    axis index."""
+    rows = -(-num_particles // n_devices)
+    n_pad = rows * n_devices
+    nx, ny, nz = grid_shape
+    use_matmul_dft = max(grid_shape) <= pme._MATMUL_DFT_MAX
+
+    def term(pos_p, box, q_p, sub_p, lam_s, dev, energies=True):
+        dtype = pos_p.dtype
+        recip = recip_box_vectors(box)
+        if dispersion:
+            eterm = pme.dispersion_eterm(grid_shape, moduli, box, recip,
+                                         alpha, dtype, half=True)
+        else:
+            eterm = pme.coulomb_eterm(grid_shape, moduli, box, recip,
+                                      alpha, dtype, half=True)
+        lam_nn = lam_s[jnp.asarray(slice_table)]
+        start = dev * rows
+        pos_s = jax.lax.dynamic_slice_in_dim(pos_p, start, rows)
+        q_s = jax.lax.dynamic_slice_in_dim(q_p, start, rows)
+        sub_s = jax.lax.dynamic_slice_in_dim(sub_p, start, rows)
+        index, frac = pme.grid_index_and_fraction(pos_s, recip, grid_shape)
+        theta, dtheta = pme.bsplines(frac, order)
+        grid = pme.spread_charges(q_s, sub_s, index, theta, grid_shape,
+                                  num_subsets, order)
+        # all-reduce the per-device partial charge grids over ICI; after
+        # this every device holds the full grid (replicated)
+        grid = jax.lax.psum(grid, axis)
+        slice_e = None
+        if use_matmul_dft:
+            s_re, s_im = pme.rfft3_matmul(grid)
+            if energies:
+                w = pme.rfft_energy_weights(nz, dtype)
+                slice_e = pme.pme_slice_energies_ri(
+                    s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+            phi = pme.irfft3_matmul(s_re * eterm[None], s_im * eterm[None],
+                                    grid_shape)
+        else:
+            spectra = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+            if energies:
+                w = pme.rfft_energy_weights(nz, dtype)
+                slice_e = pme.pme_slice_energies(
+                    spectra, eterm * w[None, None, :], slice_subset_pairs)
+            phi = jnp.fft.irfftn(spectra * eterm[None], axes=(1, 2, 3),
+                                 s=grid_shape) * (nx * ny * nz)
+        f_s = pme.interpolate_forces(phi, q_s, sub_s, index, theta,
+                                     dtheta, recip, lam_nn, grid_shape,
+                                     order)
+        return slice_e, f_s, start
+
+    return rows, n_pad, term
+
+
 def make_sharded_pme(mesh: Mesh, axis: str, num_particles: int, *,
                      alpha, grid_shape, moduli, num_subsets,
                      slice_subset_pairs, slice_table, dispersion=False,
@@ -43,55 +108,21 @@ def make_sharded_pme(mesh: Mesh, axis: str, num_particles: int, *,
     the output force array is sharded over atoms and reassembled by XLA.
     """
     n_devices = mesh.shape[axis]
-    rows = -(-num_particles // n_devices)
-    n_pad = rows * n_devices
-    nx, ny, nz = grid_shape
-    use_matmul_dft = max(grid_shape) <= pme._MATMUL_DFT_MAX
+    rows, n_pad, term = make_pme_device_term(
+        axis, n_devices, num_particles, alpha=alpha, grid_shape=grid_shape,
+        moduli=moduli, num_subsets=num_subsets,
+        slice_subset_pairs=slice_subset_pairs, slice_table=slice_table,
+        dispersion=dispersion, order=order)
 
     def run(positions, box, charges, subsets, lam_s):
-        dtype = positions.dtype
         pad = n_pad - num_particles
         pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
         q_p = jnp.pad(charges, (0, pad))
         sub_p = jnp.pad(subsets, (0, pad))
-        recip = recip_box_vectors(box)
-        if dispersion:
-            eterm = pme.dispersion_eterm(grid_shape, moduli, box, recip,
-                                         alpha, dtype, half=True)
-        else:
-            eterm = pme.coulomb_eterm(grid_shape, moduli, box, recip,
-                                      alpha, dtype, half=True)
-        w = pme.rfft_energy_weights(nz, dtype)
-        lam_nn = lam_s[jnp.asarray(slice_table)]
 
         def device_fn():
             dev = jax.lax.axis_index(axis)
-            start = dev * rows
-            pos_s = jax.lax.dynamic_slice_in_dim(pos_p, start, rows)
-            q_s = jax.lax.dynamic_slice_in_dim(q_p, start, rows)
-            sub_s = jax.lax.dynamic_slice_in_dim(sub_p, start, rows)
-            index, frac = pme.grid_index_and_fraction(pos_s, recip, grid_shape)
-            theta, dtheta = pme.bsplines(frac, order)
-            grid = pme.spread_charges(q_s, sub_s, index, theta, grid_shape,
-                                      num_subsets, order)
-            # all-reduce the per-device partial charge grids over ICI; after
-            # this every device holds the full grid (replicated)
-            grid = jax.lax.psum(grid, axis)
-            if use_matmul_dft:
-                s_re, s_im = pme.rfft3_matmul(grid)
-                slice_e = pme.pme_slice_energies_ri(
-                    s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
-                phi = pme.irfft3_matmul(s_re * eterm[None], s_im * eterm[None],
-                                        grid_shape)
-            else:
-                spectra = jnp.fft.rfftn(grid, axes=(1, 2, 3))
-                slice_e = pme.pme_slice_energies(
-                    spectra, eterm * w[None, None, :], slice_subset_pairs)
-                phi = jnp.fft.irfftn(spectra * eterm[None], axes=(1, 2, 3),
-                                     s=grid_shape) * (nx * ny * nz)
-            f_s = pme.interpolate_forces(phi, q_s, sub_s, index, theta,
-                                         dtheta, recip, lam_nn, grid_shape,
-                                         order)
+            slice_e, f_s, _ = term(pos_p, box, q_p, sub_p, lam_s, dev)
             return slice_e, f_s
 
         slice_e, forces = jax.shard_map(

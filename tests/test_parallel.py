@@ -88,3 +88,126 @@ def test_multichip_md_step_runs():
     # a second step keeps running (jit cache) and changes state
     pos3, vel3, _ = step(pos2, vel2, box, gvals, data)
     assert not np.allclose(np.asarray(pos2), np.asarray(pos3))
+
+
+def _water_system(n_mol=40, box=3.2, seed=9, nsub=3):
+    """Rigid 3-site waters on a lattice: triangle exclusions + constraints
+    (the production regime of the sharded MD step)."""
+    rng = np.random.default_rng(seed)
+    system = nbs.System()
+    system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
+    force = nbs.SlicedNonbondedForce(nsub)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.PME)
+    force.setCutoffDistance(0.9)
+    grid = int(np.ceil(n_mol ** (1 / 3)))
+    sites = np.stack(np.meshgrid(*[np.arange(grid)] * 3,
+                                 indexing="ij"), -1).reshape(-1, 3)
+    sites = (sites[:n_mol] + 0.5) * (box / grid)
+    positions = np.empty((3 * n_mol, 3))
+    d_oh, d_hh = 0.09572, 0.15139
+    for m in range(n_mol):
+        system.addParticle(15.999)
+        system.addParticle(1.008)
+        system.addParticle(1.008)
+        force.addParticle(-0.834, 0.3151, 0.6364)
+        force.addParticle(0.417, 0.04, 0.192)
+        force.addParticle(0.417, 0.04, 0.192)
+        o = 3 * m
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        perp = np.cross(axis, rng.normal(size=3))
+        perp /= np.linalg.norm(perp)
+        half = d_hh / 2
+        h = np.sqrt(d_oh ** 2 - half ** 2)
+        positions[o] = sites[m]
+        positions[o + 1] = sites[m] + h * axis + half * perp
+        positions[o + 2] = sites[m] + h * axis - half * perp
+        for a, b in ((0, 1), (0, 2), (1, 2)):
+            force.addException(o + a, o + b, 0.0, 1.0, 0.0)
+        for a in range(3):
+            force.setParticleSubset(o + a, (m + a) % nsub)
+        system.addConstraint(o, o + 1, d_oh)
+        system.addConstraint(o, o + 2, d_oh)
+        system.addConstraint(o + 1, o + 2, d_hh)
+    force.addGlobalParameter("lam", 0.8)
+    force.addScalingParameter("lam", 0, 1, True, True)
+    system.addForce(force)
+    return system, force, positions
+
+
+def test_sharded_md_step_matches_host_loop():
+    """The production sharded MD scan (spatial slab decomposition, per-shard
+    prepare, K-step blocks, sharded PME + bonded terms, constraints) must
+    reproduce an explicit f64 host loop over the all-pairs engine."""
+    from nonbondedslicing_tpu.parallel.fused_shard import make_sharded_md_step
+    from nonbondedslicing_tpu.runtime.constraints import (cluster_constraints,
+                                                          make_constrainer)
+
+    system, force, positions = _water_system()
+    plan = plan_mod.build_plan(force, system)
+    n = plan.num_particles
+    data = engine_mod.plan_data(plan)  # f64 under x64
+    box = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()))
+    gvals = jnp.asarray([0.8])
+    masses = np.array([system.getParticleMass(i) for i in range(n)])
+    cons = cluster_constraints(
+        [system.getConstraintParameters(i)
+         for i in range(system.getNumConstraints())], n)
+    dt = 0.001
+    n_steps = 5
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("x",))
+    run = make_sharded_md_step(plan, masses, dt, mesh, axis="x",
+                               dtype=jnp.float64, constraints=cons,
+                               reuse_steps=2, cell_capacity=32)
+    assert run.config["reuse_steps"] == 2  # K-step blocks per dispatch
+    pos0 = jnp.asarray(positions)
+    vel0 = jnp.asarray(np.random.default_rng(4).normal(
+        scale=0.3, size=(n, 3)))
+    pos_s, vel_s, e_s = run(pos0, vel0, box, gvals, data, n_steps)
+
+    # explicit host reference: all-pairs engine + same leapfrog/M-SHAKE
+    compute = jax.jit(engine_mod.make_compute(plan, True, True,
+                                              neighbor="all_pairs"))
+    proj_x, proj_v = make_constrainer(cons[0], cons[1], masses, n,
+                                      dtype=jnp.float64, mask=cons[2])
+    inv_m = jnp.asarray(np.where(masses > 0, 1.0 / masses, 0.0))[:, None]
+    p, v = pos0, vel0
+    for _ in range(n_steps):
+        _, f = compute(p, box, gvals, data)
+        v = v + dt * f * inv_m
+        pn = proj_x(p, p + dt * v)
+        v = proj_v(pn, (pn - p) / dt)
+        p = pn
+    e_ref, _ = compute(p, box, gvals, data)
+    from nonbondedslicing_tpu.ops.params import slice_lambdas
+    e_ref_total = float(engine_mod.contract_energy(
+        e_ref, slice_lambdas(plan.lam_source, gvals)))
+
+    np.testing.assert_allclose(np.asarray(pos_s), np.asarray(p),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vel_s), np.asarray(v),
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(float(e_s), e_ref_total, rtol=1e-9)
+
+
+def test_sharded_md_step_skin_and_overflow_guards():
+    from nonbondedslicing_tpu.parallel.fused_shard import make_sharded_md_step
+    from nonbondedslicing_tpu.runtime.constraints import cluster_constraints
+
+    system, force, positions = _water_system()
+    plan = plan_mod.build_plan(force, system)
+    n = plan.num_particles
+    data = engine_mod.plan_data(plan)
+    box = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()))
+    gvals = jnp.asarray([0.8])
+    masses = np.array([system.getParticleMass(i) for i in range(n)])
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("x",))
+    # tiny capacity -> overflow must raise, not silently drop
+    run = make_sharded_md_step(plan, masses, 0.001, mesh, axis="x",
+                               dtype=jnp.float64, cell_capacity=4,
+                               reuse_steps=1)
+    with pytest.raises(nbs.OpenMMException, match="overflow"):
+        run(jnp.asarray(positions), jnp.zeros((n, 3)), box, gvals, data, 1)
