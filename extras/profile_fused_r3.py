@@ -65,7 +65,13 @@ def main(which="all"):
     box_arr = jnp.asarray(np.diag([box, box, box]), dtype)
     gvals = jnp.asarray([1.0, 1.0], dtype)
 
+    from nonbondedslicing_tpu.ops.neighbors import choose_cell_grid
+    from nonbondedslicing_tpu.runtime import native
+    cfg0 = choose_cell_grid(plan.box0, plan.cutoff, n, target_skin=0.1)
+    occ = native.max_cell_occupancy(positions, plan.box0, cfg0[0])
+    cell_capacity = max(8, int(np.ceil((occ + 6) / 4) * 4))
     eng = fused_mod.make_fused_engine(plan, hoist_eterm=True, energies=False,
+                                      cell_capacity=cell_capacity,
                                       target_skin=0.1)
     prepare, apply, cfg = eng
     counts = cfg["counts"]
@@ -205,4 +211,123 @@ def main(which="all"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "all")
+    arg = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if arg == "pmesub":
+        pme_subphases()
+    else:
+        main(arg)
+
+
+def pme_subphases():
+    """Granular PME stage costs at bench config (full-output dependencies so
+    nothing is DCE'd)."""
+    import bench
+    from nonbondedslicing_tpu.ops import engine as engine_mod
+    from nonbondedslicing_tpu.ops import fused as fused_mod
+    from nonbondedslicing_tpu.ops import plan as plan_mod
+    from nonbondedslicing_tpu.ops import pme as pme_mod
+    from nonbondedslicing_tpu.ops import pme_bricks, pallas_pme
+    from nonbondedslicing_tpu.ops.geometry import recip_box_vectors
+    from nonbondedslicing_tpu.ops.neighbors import choose_cell_grid
+    from nonbondedslicing_tpu.runtime import native
+
+    system, force, positions, box, bonds, constraints = bench.build_system()
+    state_file = os.path.join(os.path.dirname(__file__),
+                              "bench_state_rigid.npz")
+    if os.path.exists(state_file):
+        positions = np.load(state_file)["positions"]
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    n = plan.num_particles
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    pos = jnp.asarray(positions, dtype)
+    box_arr = jnp.asarray(np.diag([box, box, box]), dtype)
+    gvals = jnp.asarray([1.0, 1.0], dtype)
+    cfg0 = choose_cell_grid(plan.box0, plan.cutoff, n, target_skin=0.1)
+    occ = native.max_cell_occupancy(positions, plan.box0, cfg0[0])
+    eng = fused_mod.make_fused_engine(
+        plan, hoist_eterm=True, energies=False,
+        cell_capacity=max(8, int(np.ceil((occ + 6) / 4) * 4)),
+        target_skin=0.1)
+    prepare, apply, cfg = eng
+    counts, capacity = cfg["counts"], cfg["capacity"]
+    bricks = cfg["bricks"]
+    grid_shape = cfg["pme_grid"]
+    state = jax.jit(prepare)(pos, box_arr, gvals, data)
+    n_cells = counts[0] * counts[1] * counts[2]
+    slots = state["slots"]
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dtype)], axis=0)
+    pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3), 1, 2)
+    pos_b = jax.device_put(
+        fused_mod._cells_to_bricks(pos_fm, counts, bricks))
+    sfeat_b = fused_mod._cells_to_bricks(state["sfeat"], counts, bricks)
+    q_b = jax.device_put(sfeat_b[:, 0, :])
+    soh_b = jax.device_put(sfeat_b[:, 3:6, :])
+    nsub = 3
+    order = 5
+    g = bricks[0] * bricks[1] * bricks[2]
+    (px, wx), (py, wy), (pz, wz) = pme_bricks.brick_window(grid_shape,
+                                                           bricks, order)
+    spread_k = pallas_pme.make_spread_kernel(grid_shape=grid_shape,
+                                             bricks=bricks, nsub=nsub,
+                                             order=order)
+    interp_k = pallas_pme.make_interp_kernel(grid_shape=grid_shape,
+                                             bricks=bricks, nsub=nsub,
+                                             order=order)
+    recip0 = recip_box_vectors(box_arr)
+    qoh0 = soh_b * q_b[:, None, :]
+    eterm0 = jnp.asarray(pme_mod.coulomb_eterm_np(
+        grid_shape, cfg["pme_moduli"], plan.box0, plan.ewald_alpha,
+        half=True).astype(np.float32))
+
+    # (a) spread kernel only
+    def step_spread(pb):
+        w = spread_k(pb, qoh0, recip0)
+        return pb + 1e-20 * jnp.sum(w)
+    print(f"  spread_k:        {slope_ms(step_spread, pos_b):8.3f} ms",
+          flush=True)
+
+    windows0 = jax.device_put(spread_k(pos_b, qoh0, recip0))
+
+    # (b) scatter_windows only
+    def step_scatter(w):
+        grid = pme_bricks.scatter_windows(
+            w.reshape(g, nsub, wx, wy * wz), bricks, grid_shape)
+        return w + 1e-20 * jnp.sum(grid)
+    print(f"  scatter_windows: {slope_ms(step_scatter, windows0):8.3f} ms",
+          flush=True)
+
+    grid0 = jax.device_put(pme_bricks.scatter_windows(
+        windows0.reshape(g, nsub, wx, wy * wz), bricks, grid_shape))
+
+    # (c) matmul-DFT roundtrip + convolution
+    def step_fft(gr):
+        s_re, s_im = pme_mod.rfft3_matmul(gr)
+        phi = pme_mod.irfft3_matmul(s_re * eterm0[None], s_im * eterm0[None],
+                                    grid_shape)
+        return gr + 1e-20 * jnp.sum(phi)
+    print(f"  fft+conv+ifft:   {slope_ms(step_fft, grid0):8.3f} ms",
+          flush=True)
+
+    s_re, s_im = pme_mod.rfft3_matmul(grid0)
+    phi0 = pme_mod.irfft3_matmul(s_re * eterm0[None], s_im * eterm0[None],
+                                 grid_shape)
+    lam_nn = jnp.ones((nsub, nsub), dtype)
+    comb0 = jax.device_put(jnp.einsum("st,txyz->sxyz", lam_nn, phi0))
+
+    # (d) gather_windows + interp kernel
+    def step_interp(cm):
+        win_phi = pme_bricks.gather_windows(cm, bricks)
+        f = interp_k(win_phi.reshape(g, nsub * wx, wy * wz), pos_b, soh_b,
+                     q_b[:, None, :], recip0)
+        return cm + 1e-20 * jnp.sum(f)
+    print(f"  gather+interp:   {slope_ms(step_interp, comb0):8.3f} ms",
+          flush=True)
+
+    # (e) gather_windows alone
+    def step_gather(cm):
+        win_phi = pme_bricks.gather_windows(cm, bricks)
+        return cm + 1e-20 * jnp.sum(win_phi)
+    print(f"  gather_windows:  {slope_ms(step_gather, comb0):8.3f} ms",
+          flush=True)

@@ -168,15 +168,37 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
     # per roll offset) so the kernel skips per-slot minimum-image math; the
     # fused-exclusion path needs raw unwrapped deltas, so it keeps min-image
     preshift = not (mode == direct.EWALD_DIRECT and fuse_exclusions)
-    kernel = make_pallas_cell_kernel(
-        mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
-        nsub=nsub, emax=emax, krf=krf, crf=crf, use_switch=plan.use_switch,
-        switch_distance=plan.switch_distance, ewald_alpha=plan.ewald_alpha,
-        ljpme=(method == NonbondedForce.LJPME),
-        dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
-        exceptions_periodic=plan.exceptions_periodic,
-        fuse_exclusions=fuse_exclusions, images_preshifted=preshift,
-        compute_energies=energies)
+    # column kernel: in-kernel candidate assembly via index-mapped neighbor
+    # column loads — removes the per-step 14-roll/concat HBM materialization
+    # (measured at ~the cost of the pair math itself).  Requires preshifted
+    # images, so the fused-exclusion (min-image) variant keeps the cell
+    # kernel.  NBS_COLUMN_KERNEL=0 opts out.
+    use_column = (preshift
+                  and os.environ.get("NBS_COLUMN_KERNEL", "1") != "0")
+    if use_column:
+        from .pallas_direct import make_pallas_column_kernel
+        kernel = make_pallas_column_kernel(
+            mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
+            nsub=nsub, emax=emax, krf=krf, crf=crf,
+            use_switch=plan.use_switch,
+            switch_distance=plan.switch_distance,
+            ewald_alpha=plan.ewald_alpha,
+            ljpme=(method == NonbondedForce.LJPME),
+            dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
+            exceptions_periodic=plan.exceptions_periodic,
+            fuse_exclusions=False, compute_energies=energies)
+    else:
+        kernel = make_pallas_cell_kernel(
+            mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
+            nsub=nsub, emax=emax, krf=krf, crf=crf,
+            use_switch=plan.use_switch,
+            switch_distance=plan.switch_distance,
+            ewald_alpha=plan.ewald_alpha,
+            ljpme=(method == NonbondedForce.LJPME),
+            dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
+            exceptions_periodic=plan.exceptions_periodic,
+            fuse_exclusions=fuse_exclusions, images_preshifted=preshift,
+            compute_energies=energies)
     # per-offset wrap indicators: cand cell c receives cell (c+d) mod nc,
     # whose true image sits at +floor((c+d)/nc) box vectors
     _wrap = {}
@@ -231,20 +253,23 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
              jnp.full((1, emax), -1, data["exclusion_list"].dtype)], axis=0)
         sexcl = jnp.swapaxes(excl_p[slots].reshape(n_cells, capacity, emax),
                              1, 2)                             # (g, emax, C)
-        grid_feat = sfeat.reshape(ncx, ncy, ncz, nf, capacity)
-        grid_idx = slots.reshape(ncx, ncy, ncz, capacity)
-        cand_static = jnp.concatenate(
-            [jnp.roll(grid_feat, (-dx, -dy, -dz), axis=(0, 1, 2))
-             .reshape(n_cells, nf, capacity)
-             for (dx, dy, dz) in HALF_OFFSETS], axis=2)        # (g, Fs, 14C)
-        cand_idx = jnp.concatenate(
-            [jnp.roll(grid_idx, (-dx, -dy, -dz), axis=(0, 1, 2))
-             .reshape(n_cells, capacity) for (dx, dy, dz) in HALF_OFFSETS],
-            axis=1)                                            # (g, 14C)
-        return dict(slots=slots, table=table, sfeat=sfeat, sexcl=sexcl,
-                    cand_static=cand_static, cand_idx=cand_idx,
-                    pos0=positions, pos0w=pos0w,
-                    overflow=overflow.astype(jnp.int32))
+        state = dict(slots=slots, table=table, sfeat=sfeat, sexcl=sexcl,
+                     pos0=positions, pos0w=pos0w,
+                     overflow=overflow.astype(jnp.int32))
+        if not use_column:
+            # the cell kernel consumes materialized candidate tensors; the
+            # column kernel assembles candidates in VMEM instead
+            grid_feat = sfeat.reshape(ncx, ncy, ncz, nf, capacity)
+            grid_idx = slots.reshape(ncx, ncy, ncz, capacity)
+            state["cand_static"] = jnp.concatenate(
+                [jnp.roll(grid_feat, (-dx, -dy, -dz), axis=(0, 1, 2))
+                 .reshape(n_cells, nf, capacity)
+                 for (dx, dy, dz) in HALF_OFFSETS], axis=2)    # (g, Fs, 14C)
+            state["cand_idx"] = jnp.concatenate(
+                [jnp.roll(grid_idx, (-dx, -dy, -dz), axis=(0, 1, 2))
+                 .reshape(n_cells, capacity)
+                 for (dx, dy, dz) in HALF_OFFSETS], axis=1)    # (g, 14C)
+        return state
 
     def apply(positions, box, gvals, data, state):
         dtype = positions.dtype
@@ -276,28 +301,38 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)], axis=0)
         pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
                               1, 2)                            # (g, 3, C)
-        grid_pos = pos_fm.reshape(ncx, ncy, ncz, 3, capacity)
-        cand_blocks = []
-        for off in HALF_OFFSETS:
-            dx, dy, dz = off
-            rolled = jnp.roll(grid_pos, (-dx, -dy, -dz), axis=(0, 1, 2))
-            if preshift:
-                wx, wy, wz = _wrap[off]
-                shift = (jnp.asarray(wx, dtype)[:, None, None, None] * box[0]
-                         + jnp.asarray(wy, dtype)[None, :, None, None] * box[1]
-                         + jnp.asarray(wz, dtype)[None, None, :, None] * box[2])
-                rolled = rolled + shift[..., None]
-            cand_blocks.append(rolled.reshape(n_cells, 3, capacity))
-        cand_pos = jnp.concatenate(cand_blocks, axis=2)        # (g, 3, 14C)
-
         rows_feat = jnp.concatenate([pos_fm, sfeat], axis=1)
-        cand_feat = jnp.concatenate([cand_pos, state["cand_static"]], axis=1)
-
-        (row_f, col_f, m_c, m_v), pad = kernel(
-            rows_feat, state["table"], state["sexcl"], cand_feat,
-            state["cand_idx"], lam_c_nn, lam_v_nn, box, n)
-        row_f = row_f[:n_cells]
-        col_f = col_f[:n_cells]
+        if use_column:
+            nf_all = rows_feat.shape[1]
+            row_f, col_f, m_c, m_v = kernel(
+                rows_feat.reshape(ncx, ncy, ncz, nf_all, capacity),
+                state["table"].reshape(ncx, ncy, ncz, 1, capacity),
+                state["sexcl"].reshape(ncx, ncy, ncz, emax, capacity),
+                lam_c_nn, lam_v_nn, box, n)
+        else:
+            grid_pos = pos_fm.reshape(ncx, ncy, ncz, 3, capacity)
+            cand_blocks = []
+            for off in HALF_OFFSETS:
+                dx, dy, dz = off
+                rolled = jnp.roll(grid_pos, (-dx, -dy, -dz), axis=(0, 1, 2))
+                if preshift:
+                    wx, wy, wz = _wrap[off]
+                    shift = (jnp.asarray(wx, dtype)[:, None, None, None]
+                             * box[0]
+                             + jnp.asarray(wy, dtype)[None, :, None, None]
+                             * box[1]
+                             + jnp.asarray(wz, dtype)[None, None, :, None]
+                             * box[2])
+                    rolled = rolled + shift[..., None]
+                cand_blocks.append(rolled.reshape(n_cells, 3, capacity))
+            cand_pos = jnp.concatenate(cand_blocks, axis=2)    # (g, 3, 14C)
+            cand_feat = jnp.concatenate([cand_pos, state["cand_static"]],
+                                        axis=1)
+            (row_f, col_f, m_c, m_v), pad = kernel(
+                rows_feat, state["table"], state["sexcl"], cand_feat,
+                state["cand_idx"], lam_c_nn, lam_v_nn, box, n)
+            row_f = row_f[:n_cells]
+            col_f = col_f[:n_cells]
         slice_energies = jnp.zeros((nslices, 2), dtype)
         if energies:
             mc = jnp.sum(m_c, axis=0)

@@ -55,63 +55,31 @@ def _erfc_hastings(x):
     return poly * jnp.exp(-x * x)
 
 
-def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
-                            krf=0.0, crf=0.0, use_switch=False,
-                            switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
-                            dispersion_alpha=0.0, interpret=False,
-                            cells_per_tile=None, exceptions_periodic=False,
-                            fuse_exclusions=True, images_preshifted=False,
-                            compute_energies=True):
-    """Build the half-shell tile kernel.
+def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
+                     use_switch, switch_distance, ewald_alpha, ljpme,
+                     dispersion_alpha, exceptions_periodic, fuse_exclusions,
+                     images_preshifted, compute_energies, ncand):
+    """The per-cell pair physics shared by the tile kernels: minimum
+    image / preshifted deltas, cutoff + exclusion + half-shell-once masks,
+    LJ + Coulomb (RF or Ewald-erfc) with quintic switching, optional fused
+    Ewald exclusion corrections, lambda application and per-slice energy
+    moments.  Operates on plain arrays:
 
-    f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
-      lam_c_nn, lam_v_nn) ->
-      (row_forces (cells, C, 3), col_forces (cells, 14*C, 3),
-       m_c (tiles, nsub, nsub), m_v (tiles, nsub, nsub))
-
-    Each grid step processes ``cells_per_tile`` cells with a statically
-    unrolled loop — single-cell tiles leave the core idle between grid steps.
+    f(box_ref, n, rf (F, C), ri (C,), re (emax, C), cf (F, ncand),
+      ci (ncand,), lam_c (nsub, nsub), lam_v (nsub, nsub))
+      -> (row_forces (3, C), col_forces (3, ncand), mc, mv (nsub, nsub))
     """
-    assert mode in (CUTOFF, EWALD_DIRECT)
-    ncand = 14 * capacity
     cutoff2 = cutoff * cutoff
-    if cells_per_tile is None:
-        import os
-        cells_per_tile = int(os.environ.get("NBS_PALLAS_TILE", "4"))
-    G = cells_per_tile
 
-    def kernel(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
-               lamc_ref, lamv_ref, fout_ref, cout_ref, mc_ref, mv_ref):
-        mc_acc = jnp.zeros((nsub, nsub), rf_ref.dtype)
-        mv_acc = jnp.zeros((nsub, nsub), rf_ref.dtype)
-        for g in range(G):
-            mc_g, mv_g = _one_cell(box_ref, nreal_ref, rf_ref, ri_ref, re_ref,
-                                   cf_ref, ci_ref, lamc_ref, lamv_ref,
-                                   fout_ref, cout_ref, g)
-            mc_acc = mc_acc + mc_g
-            mv_acc = mv_acc + mv_g
-        mc_ref[0] = mc_acc
-        mv_ref[0] = mv_acc
-
-    def _one_cell(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
-                  lamc_ref, lamv_ref, fout_ref, cout_ref, g):
-        dtype = rf_ref.dtype
-        n = nreal_ref[0]
-        # feature-major layout (F, C)/(F, 14C): keeps the long atom axis in
-        # the 128-lane dimension (atoms-major would pad F~10 lanes to 128 —
-        # a 13x HBM blowup)
-        rf = rf_ref[g]            # (F, C)
-        cf = cf_ref[g]            # (F, 14C)
-        ri = ri_ref[g, 0]         # (C,)
-        ci = ci_ref[g, 0]         # (14C,)
-
+    def pair_block(box_ref, n, rf, ri, re, cf, ci, lam_c_nn, lam_v_nn):
+        dtype = rf.dtype
         dx0 = rf[0].reshape(capacity, 1) - cf[0].reshape(1, ncand)
         dy0 = rf[1].reshape(capacity, 1) - cf[1].reshape(1, ncand)
         dz0 = rf[2].reshape(capacity, 1) - cf[2].reshape(1, ncand)
         if images_preshifted:
             # the caller baked the periodic image shifts into the candidate
-            # positions at roll time (static per roll offset), so raw deltas
-            # ARE minimum-image deltas for in-range pairs
+            # positions (static per roll offset), so raw deltas ARE
+            # minimum-image deltas for in-range pairs
             dx, dy, dz = dx0, dy0, dz0
         else:
             # ---- minimum image over the reduced triclinic box (c, b, a)
@@ -128,7 +96,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             bxx = box_ref[0, 0]
             nx = jnp.floor(dx / bxx + 0.5)
             dx -= nx * bxx
-        r2 = dx * dx + dy * dy + dz * dz     # (C, 14C)
+        r2 = dx * dx + dy * dy + dz * dz     # (C, ncand)
 
         ri_col = ri.reshape(capacity, 1)
         ci_row = ci.reshape(1, ncand)
@@ -138,7 +106,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         once = (col_k >= capacity) | (ri_col < ci_row)
         excluded = jnp.zeros((capacity, ncand), jnp.bool_)
         for e in range(emax):
-            excluded |= ci_row == re_ref[g, e].reshape(capacity, 1)
+            excluded |= ci_row == re[e].reshape(capacity, 1)
         mask = real & once & ~excluded & (r2 < cutoff2)
 
         one = jnp.ones((), dtype)
@@ -156,7 +124,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             t = jnp.clip((r - switch_distance) / (cutoff - switch_distance),
                          0.0, 1.0)
             sw_val = 1 + t * t * t * (-10 + t * (15 - t * 6))
-            sw_der = t * t * (-30 + t * (60 - t * 30)) / (cutoff - switch_distance)
+            sw_der = t * t * (-30 + t * (60 - t * 30)) \
+                / (cutoff - switch_distance)
         else:
             sw_val, sw_der = one, jnp.zeros((), dtype)
 
@@ -188,7 +157,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                 c6j = (8.0 * cf[4] ** 3 * cf[5]).reshape(1, ncand)
                 c6ij = c6i * c6j
                 expd = jnp.exp(-dar2)
-                emult = c6ij * rinv6 * (1.0 - expd * (1.0 + dar2 + 0.5 * dar4))
+                emult = c6ij * rinv6 * (1.0 - expd * (1.0 + dar2
+                                                      + 0.5 * dar4))
                 dedr_vdw = dedr_vdw + 6.0 * c6ij * rinv6 * rinv2 * (
                     1.0 - expd * (1.0 + dar2 + 0.5 * dar4 + dar6 / 6.0))
                 inv_cut2 = 1.0 / cutoff2
@@ -208,15 +178,16 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             e_vdw = e_vdw * sw_val if compute_energies else None
 
         oh_i = rf[6:6 + nsub]                          # (nsub, C)
-        oh_j = cf[6:6 + nsub]                          # (nsub, 14C)
-        lam_cp = jnp.dot(jnp.dot(oh_i.T, lamc_ref[...],
+        oh_j = cf[6:6 + nsub]                          # (nsub, ncand)
+        lam_cp = jnp.dot(jnp.dot(oh_i.T, lam_c_nn,
                                  preferred_element_type=dtype),
                          oh_j, preferred_element_type=dtype)
-        lam_vp = jnp.dot(jnp.dot(oh_i.T, lamv_ref[...],
+        lam_vp = jnp.dot(jnp.dot(oh_i.T, lam_v_nn,
                                  preferred_element_type=dtype),
                          oh_j, preferred_element_type=dtype)
         zero = jnp.zeros((), dtype)
-        factor = jnp.where(mask, lam_vp * dedr_vdw + lam_cp * dedr_coul, zero)
+        factor = jnp.where(mask, lam_vp * dedr_vdw + lam_cp * dedr_coul,
+                           zero)
         if compute_energies:
             e_coul = jnp.where(mask, e_coul, zero)
             e_vdw = jnp.where(mask, e_vdw, zero)
@@ -265,7 +236,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                 c6ij_x = c6i_x * c6j_x
                 expdx = jnp.exp(-darx2)
                 e_vx = jnp.where(big, c6ij_x * rinvx6
-                                 * (1.0 - expdx * (1.0 + darx2 + 0.5 * darx4)),
+                                 * (1.0 - expdx * (1.0 + darx2
+                                                   + 0.5 * darx4)),
                                  zero)
                 dedr_vx = jnp.where(
                     big,
@@ -273,7 +245,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                     * (1.0 - expdx * (1.0 + darx2 + 0.5 * darx4
                                       + darx6 / 6.0)),
                     zero)
-                factor_x = factor_x + jnp.where(xmask, -lam_vp * dedr_vx, zero)
+                factor_x = factor_x + jnp.where(xmask, -lam_vp * dedr_vx,
+                                                zero)
                 if compute_energies:
                     e_vdw = e_vdw + jnp.where(xmask, e_vx, zero)
             fxe = factor_x * dxu
@@ -283,23 +256,83 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         fx = factor * dx + fxe
         fy = factor * dy + fye
         fz = factor * dz + fze
-        fout_ref[g] = jnp.stack(
+        row_f = jnp.stack(
             [jnp.sum(fx, axis=1), jnp.sum(fy, axis=1), jnp.sum(fz, axis=1)],
             axis=0)                                    # (3, C)
         # Newton's third law: column atoms get the negated sum over rows
-        cout_ref[g] = -jnp.stack(
+        col_f = -jnp.stack(
             [jnp.sum(fx, axis=0), jnp.sum(fy, axis=0), jnp.sum(fz, axis=0)],
-            axis=0)                                    # (3, 14C)
+            axis=0)                                    # (3, ncand)
 
         if not compute_energies:
             z = jnp.zeros((nsub, nsub), dtype)
-            return z, z
+            return row_f, col_f, z, z
         mc = jnp.dot(oh_i, jnp.dot(e_coul, oh_j.T,
                                    preferred_element_type=dtype),
                      preferred_element_type=dtype)
         mv = jnp.dot(oh_i, jnp.dot(e_vdw, oh_j.T,
                                    preferred_element_type=dtype),
                      preferred_element_type=dtype)
+        return row_f, col_f, mc, mv
+
+    return pair_block
+
+
+def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
+                            krf=0.0, crf=0.0, use_switch=False,
+                            switch_distance=0.0, ewald_alpha=0.0, ljpme=False,
+                            dispersion_alpha=0.0, interpret=False,
+                            cells_per_tile=None, exceptions_periodic=False,
+                            fuse_exclusions=True, images_preshifted=False,
+                            compute_energies=True):
+    """Build the half-shell tile kernel.
+
+    f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
+      lam_c_nn, lam_v_nn) ->
+      (row_forces (cells, C, 3), col_forces (cells, 14*C, 3),
+       m_c (tiles, nsub, nsub), m_v (tiles, nsub, nsub))
+
+    Each grid step processes ``cells_per_tile`` cells with a statically
+    unrolled loop — single-cell tiles leave the core idle between grid steps.
+    """
+    assert mode in (CUTOFF, EWALD_DIRECT)
+    ncand = 14 * capacity
+    cutoff2 = cutoff * cutoff
+    if cells_per_tile is None:
+        import os
+        cells_per_tile = int(os.environ.get("NBS_PALLAS_TILE", "4"))
+    G = cells_per_tile
+
+    def kernel(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
+               lamc_ref, lamv_ref, fout_ref, cout_ref, mc_ref, mv_ref):
+        mc_acc = jnp.zeros((nsub, nsub), rf_ref.dtype)
+        mv_acc = jnp.zeros((nsub, nsub), rf_ref.dtype)
+        for g in range(G):
+            mc_g, mv_g = _one_cell(box_ref, nreal_ref, rf_ref, ri_ref, re_ref,
+                                   cf_ref, ci_ref, lamc_ref, lamv_ref,
+                                   fout_ref, cout_ref, g)
+            mc_acc = mc_acc + mc_g
+            mv_acc = mv_acc + mv_g
+        mc_ref[0] = mc_acc
+        mv_ref[0] = mv_acc
+
+    pair_block = _make_pair_block(
+        mode=mode, cutoff=cutoff, capacity=capacity, nsub=nsub, emax=emax,
+        krf=krf, crf=crf, use_switch=use_switch,
+        switch_distance=switch_distance, ewald_alpha=ewald_alpha,
+        ljpme=ljpme, dispersion_alpha=dispersion_alpha,
+        exceptions_periodic=exceptions_periodic,
+        fuse_exclusions=fuse_exclusions,
+        images_preshifted=images_preshifted,
+        compute_energies=compute_energies, ncand=ncand)
+
+    def _one_cell(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
+                  lamc_ref, lamv_ref, fout_ref, cout_ref, g):
+        row_f, col_f, mc, mv = pair_block(
+            box_ref, nreal_ref[0], rf_ref[g], ri_ref[g, 0], re_ref[g],
+            cf_ref[g], ci_ref[g, 0], lamc_ref[...], lamv_ref[...])
+        fout_ref[g] = row_f
+        cout_ref[g] = col_f
         return mc, mv
 
     def _call(dtype, ncp, nf, nreal, rows_feat, rows_idx, rows_excl,
@@ -376,6 +409,179 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                         rows_excl, cand_feat, cand_idx, lam_c_nn, lam_v_nn,
                         box)
         return out, pad
+
+    return run
+
+
+def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
+                              krf=0.0, crf=0.0, use_switch=False,
+                              switch_distance=0.0, ewald_alpha=0.0,
+                              ljpme=False, dispersion_alpha=0.0,
+                              interpret=False, exceptions_periodic=False,
+                              fuse_exclusions=False, compute_energies=True):
+    """Half-shell pair kernel over z-column tiles with IN-KERNEL candidate
+    assembly.
+
+    The original cell kernel consumes a fully materialized (cells, F, 14C)
+    candidate tensor that apply() rebuilds in HBM every step (14 position
+    rolls + concats) — measured at roughly the cost of the pair math itself.
+    Here each grid step processes one (x, y) column of ncz cells and loads
+    the 9 neighbor columns directly via BlockSpec index maps (wrap by modular
+    index arithmetic); the per-z 14-offset candidate panels are assembled in
+    VMEM, with periodic image shifts added from scalars (so deltas stay
+    minimum-image without per-slot floor()s, as in the preshifted layout).
+    No candidate tensor ever exists in HBM.
+
+    f(slot_feat (ncx, ncy, ncz, F, C), slot_ids (ncx, ncy, ncz, 1, C) int32,
+      slot_excl (ncx, ncy, ncz, emax, C) int32, lam_c (nsub, nsub),
+      lam_v (nsub, nsub), box (3, 3), n_real)
+      -> (row_f (cells, 3, C), col_f (cells, 3, 14C),
+          m_c (tiles, nsub, nsub), m_v (tiles, nsub, nsub))
+
+    slot_feat rows: [x, y, z, q, sigma/2, 2*sqrt(eps), subset one-hots];
+    positions must be in the canonical image used for the cell assignment
+    (ops/fused.py preshift contract).
+    """
+    ncx, ncy, ncz = counts
+    C = capacity
+    ncand = 14 * C
+    n_tiles = ncx * ncy
+    # the 9 (dx, dy) neighbor columns touched by the half shell (self first)
+    cols = [(0, 0)] + [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                       if (dx, dy) != (0, 0)]
+    col_of = {off: cols.index((off[0], off[1])) for off in HALF_OFFSETS}
+    pair_block = _make_pair_block(
+        mode=mode, cutoff=cutoff, capacity=capacity, nsub=nsub, emax=emax,
+        krf=krf, crf=crf, use_switch=use_switch,
+        switch_distance=switch_distance, ewald_alpha=ewald_alpha,
+        ljpme=ljpme, dispersion_alpha=dispersion_alpha,
+        exceptions_periodic=exceptions_periodic,
+        fuse_exclusions=fuse_exclusions, images_preshifted=True,
+        compute_energies=compute_energies, ncand=ncand)
+
+    def kernel(box_ref, nreal_ref, *refs):
+        feat_cols = refs[:9]
+        id_cols = refs[9:18]
+        re_ref = refs[18]
+        lamc_ref = refs[19]
+        lamv_ref = refs[20]
+        fout_ref = refs[21]
+        cout_ref = refs[22]
+        mc_ref = refs[23]
+        mv_ref = refs[24]
+        dtype = feat_cols[0].dtype
+        i = pl.program_id(0)
+        x = i // ncy
+        y = jax.lax.rem(i, ncy)
+        n = nreal_ref[0]
+        nf = feat_cols[0].shape[3]
+        # periodic wrap factors per column (x, y traced; z static per
+        # offset): cand cell receives (x+dx) mod ncx whose true image sits
+        # at +floor((x+dx)/ncx) box vectors
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (nf, 1), 0)
+
+        def shift_mat(dx, dy, wz):
+            wx = ((x + dx) // ncx).astype(dtype)
+            wy = ((y + dy) // ncy).astype(dtype)
+            wzf = jnp.asarray(float(wz), dtype)
+            s = [wx * box_ref[0, a] + wy * box_ref[1, a]
+                 + wzf * box_ref[2, a] for a in range(3)]
+            return (jnp.where(rows_iota == 0, s[0], 0.0)
+                    + jnp.where(rows_iota == 1, s[1], 0.0)
+                    + jnp.where(rows_iota == 2, s[2], 0.0))
+
+        mc_acc = jnp.zeros((nsub, nsub), dtype)
+        mv_acc = jnp.zeros((nsub, nsub), dtype)
+        for z in range(ncz):
+            rf = feat_cols[0][0, 0, z]                 # (F, C)
+            ri = id_cols[0][0, 0, z, 0]                # (C,)
+            re = re_ref[0, 0, z]                       # (emax, C)
+            cf_parts = []
+            ci_parts = []
+            for off in HALF_OFFSETS:
+                c = col_of[off]
+                zz = (z + off[2]) % ncz
+                wz = (z + off[2]) // ncz
+                cf_parts.append(feat_cols[c][0, 0, zz]
+                                + shift_mat(off[0], off[1], wz))
+                ci_parts.append(id_cols[c][0, 0, zz])   # (1, C)
+            cf = jnp.concatenate(cf_parts, axis=1)     # (F, 14C)
+            ci = jnp.concatenate(ci_parts, axis=1)[0]  # (14C,)
+            row_f, col_f, mcz, mvz = pair_block(
+                box_ref, n, rf, ri, re, cf, ci, lamc_ref[...], lamv_ref[...])
+            fout_ref[0, 0, z] = row_f
+            cout_ref[0, 0, z] = col_f
+            mc_acc = mc_acc + mcz
+            mv_acc = mv_acc + mvz
+        mc_ref[0] = mc_acc
+        mv_ref[0] = mv_acc
+
+    def _col_spec(block_tail, dx, dy):
+        return pl.BlockSpec(
+            (1, 1) + block_tail,
+            lambda i, dx=dx, dy=dy: (((i // ncy) + dx) % ncx,
+                                     (jax.lax.rem(i, ncy) + dy) % ncy)
+            + (0,) * len(block_tail),
+            memory_space=pltpu.VMEM)
+
+    def _call(dtype, nf, nreal, slot_feat, slot_ids, slot_excl, lam_c_nn,
+              lam_v_nn, box):
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM),     # box
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]     # n_real
+                    + [_col_spec((ncz, nf, C), dx, dy) for dx, dy in cols]
+                    + [_col_spec((ncz, 1, C), dx, dy) for dx, dy in cols]
+                    + [_col_spec((ncz, emax, C), 0, 0)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM),   # lam_c
+                       pl.BlockSpec(memory_space=pltpu.VMEM)])  # lam_v
+        out_specs = [
+            pl.BlockSpec((1, 1, ncz, 3, C), lambda i: (i // ncy,
+                                                       jax.lax.rem(i, ncy),
+                                                       0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ncz, 3, ncand), lambda i: (i // ncy,
+                                                           jax.lax.rem(i,
+                                                                       ncy),
+                                                           0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsub, nsub), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsub, nsub), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((ncx, ncy, ncz, 3, C), dtype),
+                jax.ShapeDtypeStruct((ncx, ncy, ncz, 3, ncand), dtype),
+                jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
+                jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(box.astype(dtype), nreal,
+          *( [slot_feat] * 9 ), *([slot_ids] * 9), slot_excl,
+          lam_c_nn.astype(dtype), lam_v_nn.astype(dtype))
+        row_f, col_f, m_c, m_v = out
+        n_cells = ncx * ncy * ncz
+        return (row_f.reshape(n_cells, 3, C),
+                col_f.reshape(n_cells, 3, ncand), m_c, m_v)
+
+    def run(slot_feat, slot_ids, slot_excl, lam_c_nn, lam_v_nn, box, n_real):
+        dtype = slot_feat.dtype
+        nf = slot_feat.shape[3]
+        nreal = jnp.asarray([n_real], dtype=jnp.int32)
+        # Mosaic cannot legalize the i64 index-map constants that x64 mode
+        # produces; all kernel operands are f32/int32, so trace without x64
+        import contextlib
+        x64_off = (jax.enable_x64(False) if hasattr(jax, "enable_x64")
+                   else contextlib.nullcontext())
+        with x64_off:
+            return _call(dtype, nf, nreal, slot_feat, slot_ids, slot_excl,
+                         lam_c_nn, lam_v_nn, box)
 
     return run
 
