@@ -210,12 +210,6 @@ def main(which="all"):
               flush=True)
 
 
-if __name__ == "__main__":
-    arg = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if arg == "pmesub":
-        pme_subphases()
-    else:
-        main(arg)
 
 
 def pme_subphases():
@@ -331,3 +325,27 @@ def pme_subphases():
         return cm + 1e-20 * jnp.sum(win_phi)
     print(f"  gather_windows:  {slope_ms(step_gather, comb0):8.3f} ms",
           flush=True)
+
+    # (f) the fused window-spectrum pipeline that replaces (b)+(c)+(e):
+    # windows -> spectrum -> conv+lambda -> windows, grids never materialized
+    lam_nn2 = jnp.ones((nsub, nsub), dtype)
+    wshape = (wx, wy, wz)
+
+    def step_winfft(w):
+        s_re, s_im = pme_mod.rfft3_matmul_windows(
+            w.reshape(bricks + (nsub, wx, wy, wz)), bricks, grid_shape)
+        cr = jnp.einsum("st,txyk->sxyk", lam_nn2, s_re * eterm0[None])
+        ci = jnp.einsum("st,txyk->sxyk", lam_nn2, s_im * eterm0[None])
+        win_phi = pme_mod.irfft3_matmul_windows(cr, ci, bricks, grid_shape,
+                                                wshape)
+        return w + 1e-20 * jnp.sum(win_phi)
+    print(f"  windowfft rt:    {slope_ms(step_winfft, windows0):8.3f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    arg = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if arg == "pmesub":
+        pme_subphases()
+    else:
+        main(arg)

@@ -5,8 +5,9 @@ tensors in HBM — ~0.5 GB of intermediates per step at the 23k-atom scale.
 These kernels fuse the whole per-brick pipeline in VMEM: fractional
 coordinates -> order-5 B-splines -> local window spline matrices ->
 MXU contractions, one brick per grid step.  Only the window tensors
-(bricks, s*wx, wy*wz) touch HBM; window<->grid assembly stays in XLA
-(pme_bricks.scatter_windows / gather_windows — dense roll-adds).
+(bricks, s*wx, wy*wz) touch HBM; window<->grid assembly is folded into the
+DFT/synthesis matrices (pme.rfft3_matmul_windows / irfft3_matmul_windows),
+so the charge and potential grids never exist in grid-major layout.
 
 Math identical to pme_bricks.spread_bricks / interp_bricks (which remain the
 oracle in tests); reference pipeline: ReferencePME.cpp:320-396 (spread),
@@ -26,6 +27,36 @@ from .geometry import recip_box_vectors
 from .pme_bricks import brick_window
 
 _PREC = jax.lax.Precision.HIGHEST  # Mosaic rejects Precision.HIGH in-kernel
+
+
+import os as _os
+_DOT_SCHEME = _os.environ.get("NBS_PME_DOT", "3pass")
+
+
+def _dot_f32_3pass(a, b, dims):
+    """f32-accurate dot via 3 bf16 MXU passes — the bfloat16x3 scheme XLA
+    uses for Precision.HIGH, which Mosaic rejects in-kernel; HIGHEST costs
+    6 passes (measured 2x on the interp kernel's 4.1 GMAC/step).
+    a@b ~ hi(a)@hi(b) + lo(a)@hi(b) + hi(a)@lo(b); the dropped lo@lo term
+    is O(2^-16) relative."""
+    if _DOT_SCHEME == "highest":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=a.dtype,
+                                   precision=_PREC)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(a.dtype)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(b.dtype)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        # explicit DEFAULT: the package-global jax_default_matmul_precision
+        # of "highest" would otherwise attach fp32 contract precision to
+        # these bf16 operands, which Mosaic rejects ("Bad lhs type")
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    return d(ah, bh) + d(al, bh) + d(ah, bl)
 
 
 def _bspline_lists(frac, order):
@@ -108,9 +139,7 @@ def make_spread_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
         qoh = qoh_ref[0]                               # (nsub, C)
         A = (qoh[:, None, :] * tx[None, :, :]).reshape(nsub * wx, -1)
         B = (ty[:, None, :] * tz[None, :, :]).reshape(wy * wz, -1)
-        out_ref[0] = jax.lax.dot_general(
-            A, B, (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype, precision=_PREC)
+        out_ref[0] = _dot_f32_3pass(A, B, (((1,), (1,)), ((), ())))
 
     def run(pos_b, qoh_b, recip):
         dtype = pos_b.dtype
@@ -177,9 +206,7 @@ def make_interp_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
 
         def contract(By, Bz, Tx):
             B = (By[:, None, :] * Bz[None, :, :]).reshape(wy * wz, -1)
-            P = jax.lax.dot_general(
-                W, B, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype, precision=_PREC)  # (s*wx, C)
+            P = _dot_f32_3pass(W, B, (((1,), (0,)), ((), ())))  # (s*wx, C)
             S = (soh[:, None, :] * Tx[None, :, :]).reshape(nsub * wx, -1)
             return jnp.sum(S * P, axis=0, keepdims=True)        # (1, C)
 
@@ -238,7 +265,6 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
     pos_b/q_b/soh_b are brick-major slot tensors (g_bricks, ., C_brick);
     returns (slice_energies (S,), forces (g_bricks, C_brick, 3)).
     """
-    from . import pme_bricks
     dtype = pos_b.dtype
     nsub = soh_b.shape[1]
     nz = grid_shape[2]
@@ -256,8 +282,6 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
     g = bricks[0] * bricks[1] * bricks[2]
     (px, wx), (py, wy), (pz, wz) = brick_window(grid_shape, bricks, order)
     windows = spread_k(pos_b, qoh, recip)
-    grid = pme_bricks.scatter_windows(
-        windows.reshape(g, nsub, wx, wy * wz), bricks, grid_shape)
 
     if eterm is None:
         if dispersion:
@@ -266,7 +290,11 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
         else:
             eterm = pme.coulomb_eterm(grid_shape, moduli, box, recip, alpha,
                                       dtype, half=True)
-    s_re, s_im = pme.rfft3_matmul(grid)
+    # overlap-add folded into the DFT matrices: the charge grid never
+    # exists in grid-major layout (see pme.rfft3_matmul_windows)
+    s_re, s_im = pme.rfft3_matmul_windows(
+        windows.reshape(bricks[0], bricks[1], bricks[2], nsub, wx, wy, wz),
+        bricks, grid_shape)
     if energies:
         w = pme.rfft_energy_weights(nz, dtype)
         slice_energies = pme.pme_slice_energies_ri(
@@ -274,10 +302,15 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
     else:
         nsl = np.asarray(slice_subset_pairs).shape[0]
         slice_energies = jnp.zeros((nsl,), dtype)
-    phi = pme.irfft3_matmul(s_re * eterm[None], s_im * eterm[None], grid_shape)
+    # lambda-combination commutes with the linear inverse transform, so it
+    # runs in (half-size) spectrum space; the window gather is folded into
+    # the synthesis matrices (pme.irfft3_matmul_windows) so the potential
+    # grid never exists in grid-major layout either
     lam_nn = lam_s[jnp.asarray(slice_table)]
-    combined = jnp.einsum("st,txyz->sxyz", lam_nn, phi)
-    win_phi = pme_bricks.gather_windows(combined, bricks)
+    cr = jnp.einsum("st,txyk->sxyk", lam_nn, s_re * eterm[None])
+    ci = jnp.einsum("st,txyk->sxyk", lam_nn, s_im * eterm[None])
+    win_phi = pme.irfft3_matmul_windows(cr, ci, bricks, grid_shape,
+                                        (wx, wy, wz))
     forces_fm = interp_k(win_phi.reshape(g, nsub * wx, wy * wz), pos_b,
                          soh_b, q_b[:, None, :], recip)
     return slice_energies, jnp.swapaxes(forces_fm, 1, 2)

@@ -125,3 +125,55 @@ def test_drifted_atoms_stay_in_window():
     grid_o = pme.spread_charges(charge, subsets, index, theta, grid_shape, nsub)
     np.testing.assert_allclose(np.asarray(grid_b), np.asarray(grid_o),
                                rtol=0, atol=1e-12)
+
+
+def test_window_dft_matches_scatter_then_fft():
+    """rfft3_matmul_windows (overlap-add folded into the DFT matrices) must
+    equal scatter_windows followed by rfft3_matmul."""
+    import jax.numpy as jnp
+    from nonbondedslicing_tpu.ops import pme, pme_bricks
+
+    rng = np.random.default_rng(12)
+    bricks = (3, 3, 3)
+    grid_shape = (12, 9, 15)
+    order = 5
+    (px, wx), (py, wy), (pz, wz) = pme_bricks.brick_window(grid_shape,
+                                                           bricks, order)
+    g = bricks[0] * bricks[1] * bricks[2]
+    nsub = 2
+    W = jnp.asarray(rng.normal(size=(g, nsub, wx, wy, wz)), jnp.float64)
+    grid = pme_bricks.scatter_windows(W.reshape(g, nsub, wx, wy * wz),
+                                      bricks, grid_shape)
+    re_ref, im_ref = pme.rfft3_matmul(grid)
+    re, im = pme.rfft3_matmul_windows(
+        W.reshape(bricks + (nsub, wx, wy, wz)), bricks, grid_shape)
+    np.testing.assert_allclose(np.asarray(re), np.asarray(re_ref),
+                               atol=1e-9 * float(jnp.max(jnp.abs(re_ref))))
+    np.testing.assert_allclose(np.asarray(im), np.asarray(im_ref),
+                               atol=1e-9 * float(jnp.max(jnp.abs(re_ref))))
+
+
+def test_inverse_window_dft_matches_ifft_then_gather():
+    """irfft3_matmul_windows (window gather folded into the synthesis
+    matrices) must equal irfft3_matmul followed by gather_windows."""
+    import jax.numpy as jnp
+    from nonbondedslicing_tpu.ops import pme, pme_bricks
+
+    rng = np.random.default_rng(13)
+    bricks = (3, 3, 3)
+    grid_shape = (12, 9, 15)
+    order = 5
+    (px, wx), (py, wy), (pz, wz) = pme_bricks.brick_window(grid_shape,
+                                                           bricks, order)
+    nsub = 2
+    nzr = grid_shape[2] // 2 + 1
+    # a spectrum that came from a real grid (so the half-spectrum synthesis
+    # convention holds exactly)
+    grid_in = jnp.asarray(rng.normal(size=(nsub,) + grid_shape), jnp.float64)
+    re, im = pme.rfft3_matmul(grid_in)
+    assert re.shape == (nsub,) + grid_shape[:2] + (nzr,)
+    phi = pme.irfft3_matmul(re, im, grid_shape)
+    win_ref = pme_bricks.gather_windows(phi, bricks)
+    win = pme.irfft3_matmul_windows(re, im, bricks, grid_shape, (wx, wy, wz))
+    np.testing.assert_allclose(np.asarray(win), np.asarray(win_ref),
+                               atol=1e-9 * float(jnp.max(jnp.abs(win_ref))))
