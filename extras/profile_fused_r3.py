@@ -131,8 +131,70 @@ def main(which="all"):
         cand_feat = jnp.concatenate([cand_pos, state["cand_static"]], axis=1)
         return p + 1e-12 * (jnp.sum(cand_feat[:1, :3, :1])
                             + jnp.sum(rows_feat[:1, :3, :1]))
-    if which in ("all", "assembly"):
+    if which in ("all", "assembly") and "cand_static" in state:
         print(f"  cand assembly only:     {slope_ms(step_assembly, pos):8.3f} ms",
+              flush=True)
+
+    # ---- 3b. pair kernel alone (gather + column kernel + roll-back +
+    #          unsort, no PME/excl/14/self)
+    from nonbondedslicing_tpu.ops.pallas_direct import (
+        make_pallas_column_kernel)
+    from nonbondedslicing_tpu.ops.direct import EWALD_DIRECT
+    ncx, ncy, ncz = counts
+    if which in ("all", "pairk"):
+        sl_tab0 = jnp.asarray(plan.slice_table)
+        lam1 = jnp.ones((plan.num_slices,), dtype)
+        lam_nn = lam1[sl_tab0]
+        sexcl = state["sexcl"]
+        emax = sexcl.shape[1]
+        kern = make_pallas_column_kernel(
+            mode=EWALD_DIRECT, cutoff=plan.cutoff, counts=counts,
+            capacity=capacity, nsub=plan.num_subsets, emax=emax,
+            ewald_alpha=plan.ewald_alpha, fuse_exclusions=False,
+            compute_energies=False)
+
+        def step_pairk(p):
+            pos_in = state["pos0w"] + (p - state["pos0"])
+            pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)],
+                                    axis=0)
+            pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
+                                  1, 2)
+            rows_feat = jnp.concatenate([pos_fm, state["sfeat"]], axis=1)
+            nf_all = rows_feat.shape[1]
+            row_f, col_f, _, _ = kern(
+                rows_feat.reshape(ncx, ncy, ncz, nf_all, capacity),
+                state["table"].reshape(ncx, ncy, ncz, 1, capacity),
+                sexcl.reshape(ncx, ncy, ncz, emax, capacity),
+                lam_nn, lam_nn, box_arr, n)
+            slot_f = row_f.reshape(ncx, ncy, ncz, 3, capacity)
+            col_g = col_f.reshape(ncx, ncy, ncz, 3, 14, capacity)
+            for k, (dx, dy, dz) in enumerate(HALF_OFFSETS):
+                slot_f = slot_f + jnp.roll(col_g[:, :, :, :, k],
+                                           (dx, dy, dz), axis=(0, 1, 2))
+            slot_f = jnp.swapaxes(slot_f.reshape(n_cells, 3, capacity), 1, 2)
+            f = jnp.zeros((n + 1, 3), dtype).at[slots].add(
+                slot_f.reshape(-1, 3))[:n]
+            return p + 1e-9 * f
+        print(f"  pair kernel+rolls:      {slope_ms(step_pairk, pos):8.3f} ms",
+              flush=True)
+
+        def step_pairk2(p):
+            # kernel only: no roll-back / unsort (forces reduced to a scalar)
+            pos_in = state["pos0w"] + (p - state["pos0"])
+            pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)],
+                                    axis=0)
+            pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
+                                  1, 2)
+            rows_feat = jnp.concatenate([pos_fm, state["sfeat"]], axis=1)
+            nf_all = rows_feat.shape[1]
+            row_f, col_f, _, _ = kern(
+                rows_feat.reshape(ncx, ncy, ncz, nf_all, capacity),
+                state["table"].reshape(ncx, ncy, ncz, 1, capacity),
+                sexcl.reshape(ncx, ncy, ncz, emax, capacity),
+                lam_nn, lam_nn, box_arr, n)
+            s = jnp.sum(row_f[:, :, :1]) + jnp.sum(col_f[:, :, :1])
+            return p + 1e-12 * s
+        print(f"  pair kernel only:       {slope_ms(step_pairk2, pos):8.3f} ms",
               flush=True)
 
     # ---- 4. PME reciprocal alone (slot inputs fixed)
@@ -185,6 +247,49 @@ def main(which="all"):
     if which in ("all", "constr"):
         print(f"  SHAKE/RATTLE+integ:     {slope_ms(step_constr, pos):8.3f} ms",
               flush=True)
+
+    # ---- 5b. the EXACT inner-step body (apply + integrate w/ constraints)
+    # and a full K-window (prepare + K inner steps) — ground truth for the
+    # bench's per-step cost
+    if which in ("all", "step", "window"):
+        from nonbondedslicing_tpu.runtime.constraints import (
+            make_constrainer as _mkc)
+        masses2 = np.array([system.getParticleMass(i) for i in range(n)])
+        cp2, cd2 = constraints
+        px2, pv2 = _mkc(cp2, cd2, masses2, n, dtype=dtype)
+        inv_m2 = jnp.asarray(
+            np.where(masses2 > 0, 1.0 / np.maximum(masses2, 1e-300), 0.0),
+            dtype)[:, None]
+        dt2 = jnp.asarray(0.002, dtype)
+        vel2 = jnp.asarray(velocities, dtype)
+
+        def inner_body(carry):
+            p, v = carry
+            _, f, aux = apply(p, box_arr, gvals, data, state)
+            v = v + dt2 * inv_m2 * f
+            pn = px2(p, p + dt2 * v)
+            v = pv2(pn, (pn - p) / dt2)
+            return (pn, v)
+        if which in ("all", "step"):
+            print(f"  inner step (apply+integ): "
+                  f"{slope_ms(inner_body, (pos, vel2)):8.3f} ms", flush=True)
+
+        def window_body(carry):
+            p, v = carry
+            st = prepare(p, box_arr, gvals, data)
+            def ib(c, _):
+                p2, v2 = c
+                _, f, aux = apply(p2, box_arr, gvals, data, st)
+                v2 = v2 + dt2 * inv_m2 * f
+                pn = px2(p2, p2 + dt2 * v2)
+                v2 = pv2(pn, (pn - p2) / dt2)
+                return (pn, v2), None
+            (p, v), _ = jax.lax.scan(ib, (p, v), None, length=3)
+            return (p, v)
+        if which in ("all", "window"):
+            ms = slope_ms(window_body, (pos, vel2))
+            print(f"  K=3 window:             {ms:8.3f} ms"
+                  f"  ({ms / 3.0:6.3f} ms/step)", flush=True)
 
     # ---- 6. exclusions + 1-4 + self/plasma (row layout)
     from nonbondedslicing_tpu.ops import bonded

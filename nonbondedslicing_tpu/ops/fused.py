@@ -43,14 +43,21 @@ from .pallas_direct import HALF_OFFSETS, make_pallas_cell_kernel
 
 
 def _brick_counts(counts):
-    """PME supercell-brick counts per axis: group neighbor cells into bricks
-    so the per-brick spread/interp matmuls are MXU-sized (a few big batched
-    matmuls instead of one tiny matmul per cell — TPU batched matmuls with
-    ~60-element contractions are latency-bound per batch element)."""
+    """PME brick counts per axis — default ONE BRICK PER CELL.
+
+    Measured at the 23k bench (6,6,6 cells, 60^3 grid): 1-cell bricks run
+    the spread/interp kernels at 0.012/0.094 ms vs 0.25/0.72 ms for
+    2x2x2-cell bricks (the big-brick B-plane outer products dominate), and
+    they keep the brick windows within 2 grid blocks per axis so the
+    fold/extract grid pipeline applies (pallas_pme.make_fold_kernel).
+    NBS_BRICK_TARGET overrides the per-axis divisor target."""
+    import os
+    tgt = os.environ.get("NBS_BRICK_TARGET")
     out = []
     for nc in counts:
+        target = int(tgt) if tgt is not None else nc
         divs = [d for d in range(1, nc + 1) if nc % d == 0]
-        out.append(min(divs, key=lambda d: (abs(d - 4), -d)))
+        out.append(min(divs, key=lambda d: (abs(d - target), -d)))
     return tuple(out)
 
 

@@ -174,6 +174,162 @@ def make_spread_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
     return run
 
 
+def make_fold_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
+    """window -> grid overlap-add as a Pallas kernel, no scatter, no
+    interleave transpose.
+
+    Works on the +1-SHIFTED grid convention: window point (b, u) of brick b
+    covers shifted-grid line b*p + u (the unshifted window origin is
+    b*p - 1, pme_bricks.scatter_windows; the global shift is a pure phase in
+    the spectrum, which cancels in |S|^2 energies and round-trips through
+    the convolution, so no correction is needed anywhere).  With
+    w = p + order + 1 <= 2p (requires p >= order + 1), each p-point grid
+    block receives contributions from exactly 2 bricks per axis.
+
+    Layout trick: the output is declared 7-D as (nsub, bx, px, by, py, bz,
+    pz) — flattening each adjacent (brick, point) pair IS grid-major order,
+    so the caller gets (nsub, nx, ny, nz) by a free reshape.  Each program
+    instance owns one full (X, Y) z-column of grid blocks (Mosaic requires
+    the trailing two block dims to be full-array), reads the 4 neighbor
+    window columns, and sums the 8 overlapping pieces per z-block in VMEM —
+    the XLA roll-based overlap-add + (brick, point) interleave transpose
+    this replaces measured ~2.1 ms at the 23k bench config.
+
+    f(W (bx, by, bz, nsub, wx, wy, wz)) -> grid_shifted (nsub, nx, ny, nz)
+    """
+    (px, wx), (py, wy), (pz, wz) = brick_window(grid_shape, bricks, order)
+    bx, by, bz = bricks
+    for p, w in ((px, wx), (py, wy), (pz, wz)):
+        if w > 2 * p:
+            raise ValueError("fold kernel requires w <= 2p per axis")
+    lx2, ly2, lz2 = wx - px, wy - py, wz - pz   # second-brick chunk lengths
+    pairs = [(dx, dy) for dx in (0, 1) for dy in (0, 1)]
+
+    ref_of = {p: i for i, p in enumerate(pairs)}
+    # block region [0 : w-p) receives both bricks (B-1 window rows [p : w)
+    # and B rows [0 : w-p)); region [w-p : p) receives only brick B —
+    # disjoint static regions avoid in-kernel pads (Mosaic cannot lower
+    # pad-to-block concats on sublane dims)
+    regions = lambda l2, p: [r for r in ((0, l2, (0, 1)), (l2, p, (0,)))
+                             if r[1] > r[0]]
+
+    def kernel(*refs):
+        out_ref = refs[4]
+        for Z in range(bz):
+            for (x0, x1, dxs) in regions(lx2, px):
+                for (y0, y1, dys) in regions(ly2, py):
+                    for (z0, z1, dzs) in regions(lz2, pz):
+                        acc = None
+                        for dx in dxs:
+                            for dy in dys:
+                                r = refs[ref_of[(dx, dy)]]
+                                for dz in dzs:
+                                    piece = r[0, 0, (Z - dz) % bz][
+                                        :, dx * px + x0:dx * px + x1,
+                                        dy * py + y0:dy * py + y1,
+                                        dz * pz + z0:dz * pz + z1]
+                                    acc = (piece if acc is None
+                                           else acc + piece)
+                        out_ref[:, 0, x0:x1, 0, y0:y1, Z, z0:z1] = acc
+
+    def _wspec(dx, dy):
+        return pl.BlockSpec(
+            (1, 1, bz, nsub, wx, wy, wz),
+            lambda X, Y, dx=dx, dy=dy: (
+                (X - dx) % bx, (Y - dy) % by, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def run(W):
+        dtype = W.dtype
+        import contextlib
+        x64_off = (jax.enable_x64(False) if hasattr(jax, "enable_x64")
+                   else contextlib.nullcontext())
+        with x64_off:
+            out = pl.pallas_call(
+                kernel,
+                grid=(bx, by),
+                in_specs=[_wspec(*c) for c in pairs],
+                out_specs=pl.BlockSpec(
+                    (nsub, 1, px, 1, py, bz, pz),
+                    lambda X, Y: (0, X, 0, Y, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(
+                    (nsub, bx, px, by, py, bz, pz), dtype),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(*([W] * 4))
+        # (brick, point) pairs are adjacent: this reshape IS grid-major
+        return out.reshape((nsub,) + tuple(grid_shape))
+
+    return run
+
+
+def make_extract_kernel(*, grid_shape, bricks, nsub, order=5,
+                        interpret=False):
+    """grid -> window extraction as a Pallas kernel (inverse layout of
+    make_fold_kernel, same +1-shifted grid convention): window point (b, u)
+    reads shifted-grid line b*p + u, i.e. grid blocks b and b+1 per axis.
+
+    f(grid_shifted (nsub, nx, ny, nz)) -> W (bx, by, bz, nsub, wx, wy, wz)
+    """
+    (px, wx), (py, wy), (pz, wz) = brick_window(grid_shape, bricks, order)
+    bx, by, bz = bricks
+    for p, w in ((px, wx), (py, wy), (pz, wz)):
+        if w > 2 * p:
+            raise ValueError("extract kernel requires w <= 2p per axis")
+    lx2, ly2, lz2 = wx - px, wy - py, wz - pz
+    pairs = [(dx, dy) for dx in (0, 1) for dy in (0, 1)]
+
+    ref_of = {p: i for i, p in enumerate(pairs)}
+
+    def kernel(*refs):
+        out_ref = refs[4]
+        # window rows [d*p : d*p + len) copy grid block (B + d) rows
+        # [0 : len) — 8 disjoint corner regions, no overlap, no pads
+        for Z in range(bz):
+            for dx, lx in ((0, px), (1, lx2)):
+                for dy, ly in ((0, py), (1, ly2)):
+                    r = refs[ref_of[(dx, dy)]]
+                    for dz, lz in ((0, pz), (1, lz2)):
+                        piece = r[:, 0, :lx, 0, :ly, (Z + dz) % bz, :lz]
+                        out_ref[0, 0, Z, :,
+                                dx * px:dx * px + lx,
+                                dy * py:dy * py + ly,
+                                dz * pz:dz * pz + lz] = piece
+
+    def _gspec(dx, dy):
+        return pl.BlockSpec(
+            (nsub, 1, px, 1, py, bz, pz),
+            lambda X, Y, dx=dx, dy=dy: (
+                0, (X + dx) % bx, 0, (Y + dy) % by, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def run(grid):
+        dtype = grid.dtype
+        g7 = grid.reshape(nsub, bx, px, by, py, bz, pz)  # free reshape
+        import contextlib
+        x64_off = (jax.enable_x64(False) if hasattr(jax, "enable_x64")
+                   else contextlib.nullcontext())
+        with x64_off:
+            return pl.pallas_call(
+                kernel,
+                grid=(bx, by),
+                in_specs=[_gspec(*c) for c in pairs],
+                out_specs=pl.BlockSpec(
+                    (1, 1, bz, nsub, wx, wy, wz),
+                    lambda X, Y: (X, Y, 0, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(
+                    (bx, by, bz, nsub, wx, wy, wz), dtype),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(*([g7] * 4))
+
+    return run
+
+
 def make_interp_kernel(*, grid_shape, bricks, nsub, order=5, interpret=False):
     """f(windows (g, nsub*wx, wy*wz), pos_b (g,3,C), soh_b (g,nsub,C),
     q_b (g,1,C), recip) -> forces feature-major (g, 3, C)."""
@@ -268,14 +424,34 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
     dtype = pos_b.dtype
     nsub = soh_b.shape[1]
     nz = grid_shape[2]
-    key = (grid_shape, bricks, nsub, order, interpret)
+    # grid pipeline (spread -> fold -> grid-major matmul DFT -> extract ->
+    # interp) whenever each brick window spans <= 2 grid blocks per axis;
+    # the folded window-spectrum DFT stays as the fallback for coarse
+    # bricks.  At the 23k bench config the grid-major DFT round-trip
+    # measures 0.03 ms while the window-spectrum contraction measures
+    # 0.65 ms (awkward (brick*window) contractions), so the cheap fold /
+    # extract kernels win decisively.  NBS_PME_PIPELINE=windows overrides.
+    pieces = [w <= 2 * p for (p, w) in brick_window(grid_shape, bricks,
+                                                    order)]
+    use_grid = (all(pieces)
+                and _os.environ.get("NBS_PME_PIPELINE", "grid") != "windows")
+    key = (grid_shape, bricks, nsub, order, interpret, use_grid)
     if key not in _cache:
+        fold_k = extract_k = None
+        if use_grid:
+            fold_k = make_fold_kernel(grid_shape=grid_shape, bricks=bricks,
+                                      nsub=nsub, order=order,
+                                      interpret=interpret)
+            extract_k = make_extract_kernel(grid_shape=grid_shape,
+                                            bricks=bricks, nsub=nsub,
+                                            order=order, interpret=interpret)
         _cache[key] = (
             make_spread_kernel(grid_shape=grid_shape, bricks=bricks,
                                nsub=nsub, order=order, interpret=interpret),
             make_interp_kernel(grid_shape=grid_shape, bricks=bricks,
-                               nsub=nsub, order=order, interpret=interpret))
-    spread_k, interp_k = _cache[key]
+                               nsub=nsub, order=order, interpret=interpret),
+            fold_k, extract_k)
+    spread_k, interp_k, fold_k, extract_k = _cache[key]
 
     recip = recip_box_vectors(box)
     qoh = soh_b * q_b[:, None, :]
@@ -290,27 +466,47 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
         else:
             eterm = pme.coulomb_eterm(grid_shape, moduli, box, recip, alpha,
                                       dtype, half=True)
-    # overlap-add folded into the DFT matrices: the charge grid never
-    # exists in grid-major layout (see pme.rfft3_matmul_windows)
-    s_re, s_im = pme.rfft3_matmul_windows(
-        windows.reshape(bricks[0], bricks[1], bricks[2], nsub, wx, wy, wz),
-        bricks, grid_shape)
-    if energies:
-        w = pme.rfft_energy_weights(nz, dtype)
-        slice_energies = pme.pme_slice_energies_ri(
-            s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
-    else:
-        nsl = np.asarray(slice_subset_pairs).shape[0]
-        slice_energies = jnp.zeros((nsl,), dtype)
-    # lambda-combination commutes with the linear inverse transform, so it
-    # runs in (half-size) spectrum space; the window gather is folded into
-    # the synthesis matrices (pme.irfft3_matmul_windows) so the potential
-    # grid never exists in grid-major layout either
     lam_nn = lam_s[jnp.asarray(slice_table)]
-    cr = jnp.einsum("st,txyk->sxyk", lam_nn, s_re * eterm[None])
-    ci = jnp.einsum("st,txyk->sxyk", lam_nn, s_im * eterm[None])
-    win_phi = pme.irfft3_matmul_windows(cr, ci, bricks, grid_shape,
-                                        (wx, wy, wz))
+    if use_grid:
+        # windows -> (+1-shifted) grid via the fold kernel; the global +1
+        # shift is a pure spectral phase that cancels in the |S|^2 energy
+        # products and round-trips through the (diagonal) convolution, so
+        # the whole pipeline runs in the shifted frame without correction
+        grid = fold_k(windows.reshape(bricks + (nsub, wx, wy, wz)))
+        s_re, s_im = pme.rfft3_matmul(grid)
+        if energies:
+            w = pme.rfft_energy_weights(nz, dtype)
+            slice_energies = pme.pme_slice_energies_ri(
+                s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+        else:
+            nsl = np.asarray(slice_subset_pairs).shape[0]
+            slice_energies = jnp.zeros((nsl,), dtype)
+        cr = jnp.einsum("st,txyk->sxyk", lam_nn, s_re * eterm[None])
+        ci = jnp.einsum("st,txyk->sxyk", lam_nn, s_im * eterm[None])
+        phi = pme.irfft3_matmul(cr, ci, grid_shape)
+        win_phi = extract_k(phi)
+    else:
+        # overlap-add folded into the DFT matrices: the charge grid never
+        # exists in grid-major layout (see pme.rfft3_matmul_windows)
+        s_re, s_im = pme.rfft3_matmul_windows(
+            windows.reshape(bricks[0], bricks[1], bricks[2], nsub, wx, wy,
+                            wz),
+            bricks, grid_shape)
+        if energies:
+            w = pme.rfft_energy_weights(nz, dtype)
+            slice_energies = pme.pme_slice_energies_ri(
+                s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+        else:
+            nsl = np.asarray(slice_subset_pairs).shape[0]
+            slice_energies = jnp.zeros((nsl,), dtype)
+        # lambda-combination commutes with the linear inverse transform, so
+        # it runs in (half-size) spectrum space; the window gather is folded
+        # into the synthesis matrices (pme.irfft3_matmul_windows) so the
+        # potential grid never exists in grid-major layout either
+        cr = jnp.einsum("st,txyk->sxyk", lam_nn, s_re * eterm[None])
+        ci = jnp.einsum("st,txyk->sxyk", lam_nn, s_im * eterm[None])
+        win_phi = pme.irfft3_matmul_windows(cr, ci, bricks, grid_shape,
+                                            (wx, wy, wz))
     forces_fm = interp_k(win_phi.reshape(g, nsub * wx, wy * wz), pos_b,
                          soh_b, q_b[:, None, :], recip)
     return slice_energies, jnp.swapaxes(forces_fm, 1, 2)
