@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pme
+from . import pme_bricks
 from .geometry import recip_box_vectors
 from .pme_bricks import brick_window
 
@@ -424,21 +425,29 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
     dtype = pos_b.dtype
     nsub = soh_b.shape[1]
     nz = grid_shape[2]
-    # grid pipeline (spread -> fold -> grid-major matmul DFT -> extract ->
-    # interp) whenever each brick window spans <= 2 grid blocks per axis;
-    # the folded window-spectrum DFT stays as the fallback for coarse
-    # bricks.  At the 23k bench config the grid-major DFT round-trip
-    # measures 0.03 ms while the window-spectrum contraction measures
-    # 0.65 ms (awkward (brick*window) contractions), so the cheap fold /
-    # extract kernels win decisively.  NBS_PME_PIPELINE=windows overrides.
+    # Spectrum pipeline choice (NBS_PME_PIPELINE overrides).  Whole-path
+    # slope measurements at the 23k bench config (60^3 grid, 6^3 bricks,
+    # v5e): "windows" 0.94 ms, "grid" 1.67 ms, "blocked" 2.73 ms.
+    #   "windows" (default): DFT straight from the window layout with the
+    #     overlap-add folded into gathered DFT matrix rows
+    #     (pme.rfft3_matmul_windows) — pays (w/p)x the grid-DFT FLOPs per
+    #     axis but zero layout passes, and MXU FLOPs are cheap here;
+    #   "grid": Pallas fold/extract kernels around a grid-major DFT — the
+    #     kernels' 10-wide lane blocks run at ~8% lane utilization
+    #     (fold 0.69 ms / extract 0.43 ms measured);
+    #   "blocked": XLA roll-add fold into the blocked (brick, point)
+    #     layout + permuted-row DFT matrices (pme.rfft3_matmul_blocked) —
+    #     grid-DFT FLOPs, but the 8 roll-adds alone measure 1.13 ms.
+    # "grid" needs each brick window to span <= 2 grid blocks per axis.
+    mode = _os.environ.get("NBS_PME_PIPELINE", "windows")
     pieces = [w <= 2 * p for (p, w) in brick_window(grid_shape, bricks,
                                                     order)]
-    use_grid = (all(pieces)
-                and _os.environ.get("NBS_PME_PIPELINE", "grid") != "windows")
-    key = (grid_shape, bricks, nsub, order, interpret, use_grid)
+    if mode == "grid" and not all(pieces):
+        mode = "blocked"
+    key = (grid_shape, bricks, nsub, order, interpret, mode)
     if key not in _cache:
         fold_k = extract_k = None
-        if use_grid:
+        if mode == "grid":
             fold_k = make_fold_kernel(grid_shape=grid_shape, bricks=bricks,
                                       nsub=nsub, order=order,
                                       interpret=interpret)
@@ -467,44 +476,42 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
             eterm = pme.coulomb_eterm(grid_shape, moduli, box, recip, alpha,
                                       dtype, half=True)
     lam_nn = lam_s[jnp.asarray(slice_table)]
-    if use_grid:
+    W7 = windows.reshape(bricks + (nsub, wx, wy, wz))
+    if mode == "blocked":
+        # overlap-add into the BLOCKED (brick, point) layout with XLA
+        # roll-adds (no interleave transpose, no Pallas), then a forward
+        # DFT whose matrices absorb the (brick, point) -> grid-line
+        # permutation — grid-DFT FLOPs, zero layout passes
+        gb = pme_bricks.fold_windows_blocked(W7, bricks, grid_shape)
+        s_re, s_im = pme.rfft3_matmul_blocked(gb, bricks, grid_shape)
+    elif mode == "grid":
         # windows -> (+1-shifted) grid via the fold kernel; the global +1
         # shift is a pure spectral phase that cancels in the |S|^2 energy
         # products and round-trips through the (diagonal) convolution, so
         # the whole pipeline runs in the shifted frame without correction
-        grid = fold_k(windows.reshape(bricks + (nsub, wx, wy, wz)))
+        grid = fold_k(W7)
         s_re, s_im = pme.rfft3_matmul(grid)
-        if energies:
-            w = pme.rfft_energy_weights(nz, dtype)
-            slice_energies = pme.pme_slice_energies_ri(
-                s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
-        else:
-            nsl = np.asarray(slice_subset_pairs).shape[0]
-            slice_energies = jnp.zeros((nsl,), dtype)
-        cr = jnp.einsum("st,txyk->sxyk", lam_nn, s_re * eterm[None])
-        ci = jnp.einsum("st,txyk->sxyk", lam_nn, s_im * eterm[None])
-        phi = pme.irfft3_matmul(cr, ci, grid_shape)
-        win_phi = extract_k(phi)
     else:
         # overlap-add folded into the DFT matrices: the charge grid never
         # exists in grid-major layout (see pme.rfft3_matmul_windows)
-        s_re, s_im = pme.rfft3_matmul_windows(
-            windows.reshape(bricks[0], bricks[1], bricks[2], nsub, wx, wy,
-                            wz),
-            bricks, grid_shape)
-        if energies:
-            w = pme.rfft_energy_weights(nz, dtype)
-            slice_energies = pme.pme_slice_energies_ri(
-                s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
-        else:
-            nsl = np.asarray(slice_subset_pairs).shape[0]
-            slice_energies = jnp.zeros((nsl,), dtype)
-        # lambda-combination commutes with the linear inverse transform, so
-        # it runs in (half-size) spectrum space; the window gather is folded
-        # into the synthesis matrices (pme.irfft3_matmul_windows) so the
-        # potential grid never exists in grid-major layout either
-        cr = jnp.einsum("st,txyk->sxyk", lam_nn, s_re * eterm[None])
-        ci = jnp.einsum("st,txyk->sxyk", lam_nn, s_im * eterm[None])
+        s_re, s_im = pme.rfft3_matmul_windows(W7, bricks, grid_shape)
+    if energies:
+        w = pme.rfft_energy_weights(nz, dtype)
+        slice_energies = pme.pme_slice_energies_ri(
+            s_re, s_im, eterm * w[None, None, :], slice_subset_pairs)
+    else:
+        nsl = np.asarray(slice_subset_pairs).shape[0]
+        slice_energies = jnp.zeros((nsl,), dtype)
+    # lambda-combination commutes with the linear inverse transform, so it
+    # runs in (half-size) spectrum space
+    cr = jnp.einsum("st,txyk->sxyk", lam_nn, s_re * eterm[None])
+    ci = jnp.einsum("st,txyk->sxyk", lam_nn, s_im * eterm[None])
+    if mode == "grid":
+        phi = pme.irfft3_matmul(cr, ci, grid_shape)
+        win_phi = extract_k(phi)
+    else:
+        # the window gather is folded into the synthesis matrices so the
+        # potential grid never exists in grid-major layout
         win_phi = pme.irfft3_matmul_windows(cr, ci, bricks, grid_shape,
                                             (wx, wy, wz))
     forces_fm = interp_k(win_phi.reshape(g, nsub * wx, wy * wz), pos_b,

@@ -268,6 +268,46 @@ def rfft3_matmul_windows(W, bricks, grid_shape):
     return re3.transpose(0, 3, 2, 1), im3.transpose(0, 3, 2, 1)
 
 
+def rfft3_matmul_blocked(gb, bricks, grid_shape):
+    """``rfft3_matmul`` of a grid held in the BLOCKED (brick, point) layout
+    (nsub, bx, by, bz, px, py, pz) produced by
+    pme_bricks.fold_windows_blocked: blocked entry (b, u) holds true grid
+    line (b*p - 1 + u) mod n, so gathering the DFT matrices' rows by that
+    map and contracting the (brick, point) axis pair yields the standard
+    spectrum with grid-DFT FLOPs — the grid never exists in grid-major
+    layout and no interleave transpose is paid anywhere.
+
+    Returns (re, im): (nsub, nx, ny, nz//2+1)."""
+    bxc, byc, bzc = bricks
+    nx, ny, nz = grid_shape
+    dtype = gb.dtype
+    px, py, pz = nx // bxc, ny // byc, nz // bzc
+    prec = jax.lax.Precision.HIGH
+    zr, zi = _rdft_mats(nz, dtype)
+    idz = _window_grid_lines(bzc, pz, pz, nz)
+    zr_b = zr[idz].reshape(bzc, pz, -1)
+    zi_b = zi[idz].reshape(bzc, pz, -1)
+    re = jnp.einsum("sXYZxyz,Zzk->sXYxyk", gb, zr_b, precision=prec)
+    im = jnp.einsum("sXYZxyz,Zzk->sXYxyk", gb, zi_b, precision=prec)
+    yc, ys = _dft_mats(ny, dtype)
+    idy = _window_grid_lines(byc, py, py, ny)
+    yc_b = yc[idy].reshape(byc, py, -1)
+    ys_b = ys[idy].reshape(byc, py, -1)
+    re2 = (jnp.einsum("sXYxyk,Yyj->sXxkj", re, yc_b, precision=prec)
+           - jnp.einsum("sXYxyk,Yyj->sXxkj", im, ys_b, precision=prec))
+    im2 = (jnp.einsum("sXYxyk,Yyj->sXxkj", re, ys_b, precision=prec)
+           + jnp.einsum("sXYxyk,Yyj->sXxkj", im, yc_b, precision=prec))
+    xc, xs = _dft_mats(nx, dtype)
+    idx_ = _window_grid_lines(bxc, px, px, nx)
+    xc_b = xc[idx_].reshape(bxc, px, -1)
+    xs_b = xs[idx_].reshape(bxc, px, -1)
+    re3 = (jnp.einsum("sXxkj,Xxi->skji", re2, xc_b, precision=prec)
+           - jnp.einsum("sXxkj,Xxi->skji", im2, xs_b, precision=prec))
+    im3 = (jnp.einsum("sXxkj,Xxi->skji", re2, xs_b, precision=prec)
+           + jnp.einsum("sXxkj,Xxi->skji", im2, xc_b, precision=prec))
+    return re3.transpose(0, 3, 2, 1), im3.transpose(0, 3, 2, 1)
+
+
 def irfft3_matmul_windows(re, im, bricks, grid_shape, window_shape):
     """``gather_windows(irfft3_matmul(re, im), bricks)`` with the window
     gather FOLDED into the synthesis matrices — the mirror of

@@ -133,6 +133,40 @@ def scatter_windows(W, counts, grid_shape):
     return jnp.roll(grid, (-1, -1, -1), axis=(1, 2, 3))
 
 
+def fold_windows_blocked(W, counts, grid_shape):
+    """Overlap-add windows into the BLOCKED grid layout — no interleave
+    transpose, no Pallas.
+
+    W: (bx, by, bz, nsub, wx, wy, wz) with window point u of brick b
+    covering true grid line (b*p - 1 + u) mod n.  Returns
+    (nsub, bx, by, bz, px, py, pz) where entry (s, B, u) holds true grid
+    line (B*p - 1 + u) mod n — the (brick, point) blocked view of the
+    charge grid, consumed by pme.rfft3_matmul_blocked whose DFT matrices
+    absorb the line permutation.  The 8 chunk roll-adds run on leading
+    brick axes with large contiguous trailing blocks (the grid-major
+    assembly's 7-D interleave transpose is what made scatter_windows
+    expensive; this keeps the layout blocked end-to-end)."""
+    ncx, ncy, ncz = counts
+    (px, wx), (py, wy), (pz, wz) = brick_window(grid_shape, counts)
+    nsub = W.shape[3]
+    Wg = W.transpose(3, 0, 1, 2, 4, 5, 6)        # (nsub, bx, by, bz, w...)
+    qx, qy, qz = -(-wx // px), -(-wy // py), -(-wz // pz)
+    acc = jnp.zeros((nsub, ncx, ncy, ncz, px, py, pz), W.dtype)
+    for ox in range(qx):
+        sx = min(px, wx - ox * px)
+        for oy in range(qy):
+            sy = min(py, wy - oy * py)
+            for oz in range(qz):
+                sz = min(pz, wz - oz * pz)
+                chunk = Wg[:, :, :, :, ox * px:ox * px + sx,
+                           oy * py:oy * py + sy, oz * pz:oz * pz + sz]
+                chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, 0), (0, 0),
+                                        (0, px - sx), (0, py - sy),
+                                        (0, pz - sz)))
+                acc = acc + jnp.roll(chunk, (ox, oy, oz), axis=(1, 2, 3))
+    return acc
+
+
 def gather_windows(grid, counts):
     """Extract per-cell windows from the global grid (inverse layout of
     scatter_windows).  grid: (nsub, nx, ny, nz) -> (g, nsub, wx, wy, wz)."""

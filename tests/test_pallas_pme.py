@@ -130,3 +130,51 @@ def test_windows_fallback_matches_grid_pipeline():
     scale = float(jnp.max(jnp.abs(f_o))) + 1.0
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_o),
                                atol=2e-5 * scale)
+
+
+def test_all_spectrum_pipelines_agree(monkeypatch):
+    """blocked / grid / windows spectrum pipelines produce identical
+    energies and forces (same spread/interp kernels around them)."""
+    rng = np.random.default_rng(21)
+    n, nsub = 300, 2
+    box = 3.6
+    bricks = (2, 2, 2)
+    grid_shape = (16, 16, 16)     # p=8 >= order+1: grid mode legal
+    capacity = 80
+    box_arr = jnp.asarray(np.diag([box] * 3), jnp.float32)
+    positions = jnp.asarray(rng.random((n, 3)) * box, jnp.float32)
+    charge = jnp.asarray(rng.normal(size=n), jnp.float32)
+    subsets = jnp.asarray(rng.integers(0, nsub, n), dtype=jnp.int32)
+    moduli = pme.bspline_moduli(grid_shape)
+    spairs = jnp.asarray(slice_subsets(nsub))
+    sl_tab = slice_pair_table(nsub).astype(np.int32)
+    lam = jnp.asarray(rng.random(3), jnp.float32)
+
+    cell = neighbors.cell_ids(positions, box_arr, bricks)
+    table, ov = neighbors.build_occupancy(cell, n, bricks, capacity)
+    assert int(ov) == 0
+    slots = table.reshape(-1)
+    g = bricks[0] * bricks[1] * bricks[2]
+    pos_p = jnp.concatenate([positions, jnp.zeros((1, 3), jnp.float32)])
+    q_p = jnp.concatenate([charge, jnp.zeros((1,), jnp.float32)])
+    sub_p = jnp.concatenate([subsets, jnp.full((1,), nsub, jnp.int32)])
+    pos_b = pos_p[slots].reshape(g, capacity, 3).swapaxes(1, 2)
+    q_b = q_p[slots].reshape(g, capacity)
+    soh_b = (sub_p[slots][:, None] == jnp.arange(nsub, dtype=jnp.int32)
+             ).astype(jnp.float32).reshape(g, capacity, nsub).swapaxes(1, 2)
+
+    out = {}
+    for pipe in ("blocked", "grid", "windows"):
+        monkeypatch.setenv("NBS_PME_PIPELINE", pipe)
+        out[pipe] = pallas_pme.pme_reciprocal_pallas(
+            pos_b, q_b, soh_b, box_arr, lam, alpha=2.5,
+            grid_shape=grid_shape, moduli=moduli, bricks=bricks,
+            slice_subset_pairs=spairs, slice_table=sl_tab, interpret=True)
+    e_ref, f_ref = out["blocked"]
+    scale = float(jnp.max(jnp.abs(f_ref))) + 1.0
+    for pipe in ("grid", "windows"):
+        e, f = out[pipe]
+        np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                                   atol=1e-5 * scale)
