@@ -161,25 +161,20 @@ def main(which="all"):
                                   1, 2)
             rows_feat = jnp.concatenate([pos_fm, state["sfeat"]], axis=1)
             nf_all = rows_feat.shape[1]
-            row_f, col_f, _, _ = kern(
+            slot_fc, _, _ = kern(
                 rows_feat.reshape(ncx, ncy, ncz, nf_all, capacity),
                 state["table"].reshape(ncx, ncy, ncz, 1, capacity),
                 sexcl.reshape(ncx, ncy, ncz, emax, capacity),
                 lam_nn, lam_nn, box_arr, n)
-            slot_f = row_f.reshape(ncx, ncy, ncz, 3, capacity)
-            col_g = col_f.reshape(ncx, ncy, ncz, 3, 14, capacity)
-            for k, (dx, dy, dz) in enumerate(HALF_OFFSETS):
-                slot_f = slot_f + jnp.roll(col_g[:, :, :, :, k],
-                                           (dx, dy, dz), axis=(0, 1, 2))
-            slot_f = jnp.swapaxes(slot_f.reshape(n_cells, 3, capacity), 1, 2)
+            slot_f = jnp.swapaxes(slot_fc, 1, 2)
             f = jnp.zeros((n + 1, 3), dtype).at[slots].add(
                 slot_f.reshape(-1, 3))[:n]
             return p + 1e-9 * f
-        print(f"  pair kernel+rolls:      {slope_ms(step_pairk, pos):8.3f} ms",
+        print(f"  pair kernel+unsort:     {slope_ms(step_pairk, pos):8.3f} ms",
               flush=True)
 
         def step_pairk2(p):
-            # kernel only: no roll-back / unsort (forces reduced to a scalar)
+            # kernel only: no unsort (forces reduced to a scalar)
             pos_in = state["pos0w"] + (p - state["pos0"])
             pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)],
                                     axis=0)
@@ -187,12 +182,12 @@ def main(which="all"):
                                   1, 2)
             rows_feat = jnp.concatenate([pos_fm, state["sfeat"]], axis=1)
             nf_all = rows_feat.shape[1]
-            row_f, col_f, _, _ = kern(
+            slot_fc, _, _ = kern(
                 rows_feat.reshape(ncx, ncy, ncz, nf_all, capacity),
                 state["table"].reshape(ncx, ncy, ncz, 1, capacity),
                 sexcl.reshape(ncx, ncy, ncz, emax, capacity),
                 lam_nn, lam_nn, box_arr, n)
-            s = jnp.sum(row_f[:, :, :1]) + jnp.sum(col_f[:, :, :1])
+            s = jnp.sum(slot_fc[:, :, :1])
             return p + 1e-12 * s
         print(f"  pair kernel only:       {slope_ms(step_pairk2, pos):8.3f} ms",
               flush=True)

@@ -311,7 +311,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         rows_feat = jnp.concatenate([pos_fm, sfeat], axis=1)
         if use_column:
             nf_all = rows_feat.shape[1]
-            row_f, col_f, m_c, m_v = kernel(
+            # slot_fc includes Newton reactions (pre-rolled outputs)
+            slot_fc, m_c, m_v = kernel(
                 rows_feat.reshape(ncx, ncy, ncz, nf_all, capacity),
                 state["table"].reshape(ncx, ncy, ncz, 1, capacity),
                 state["sexcl"].reshape(ncx, ncy, ncz, emax, capacity),
@@ -351,13 +352,16 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             slice_energies = slice_energies.at[:, COUL].add(ec)
             slice_energies = slice_energies.at[:, VDW].add(ev)
 
-        # roll per-offset column forces back onto their home cells
-        slot_f = row_f.reshape(ncx, ncy, ncz, 3, capacity)
-        col_g = col_f.reshape(ncx, ncy, ncz, 3, 14, capacity)
-        for k, (dx, dy, dz) in enumerate(HALF_OFFSETS):
-            slot_f = slot_f + jnp.roll(col_g[:, :, :, :, k], (dx, dy, dz),
-                                       axis=(0, 1, 2))
-        slot_f = jnp.swapaxes(slot_f.reshape(n_cells, 3, capacity), 1, 2)
+        if use_column:
+            slot_f = jnp.swapaxes(slot_fc, 1, 2)
+        else:
+            # roll per-offset column forces back onto their home cells
+            slot_f = row_f.reshape(ncx, ncy, ncz, 3, capacity)
+            col_g = col_f.reshape(ncx, ncy, ncz, 3, 14, capacity)
+            for k, (dx, dy, dz) in enumerate(HALF_OFFSETS):
+                slot_f = slot_f + jnp.roll(col_g[:, :, :, :, k],
+                                           (dx, dy, dz), axis=(0, 1, 2))
+            slot_f = jnp.swapaxes(slot_f.reshape(n_cells, 3, capacity), 1, 2)
 
         if is_ewald_family:
             alpha = plan.ewald_alpha

@@ -435,8 +435,14 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
     f(slot_feat (ncx, ncy, ncz, F, C), slot_ids (ncx, ncy, ncz, 1, C) int32,
       slot_excl (ncx, ncy, ncz, emax, C) int32, lam_c (nsub, nsub),
       lam_v (nsub, nsub), box (3, 3), n_real)
-      -> (row_f (cells, 3, C), col_f (cells, 3, 14C),
-          m_c (tiles, nsub, nsub), m_v (tiles, nsub, nsub))
+      -> (slot_f (cells, 3, C), m_c (tiles, nsub, nsub),
+          m_v (tiles, nsub, nsub))
+
+    slot_f already includes the Newton reaction forces: the kernel
+    accumulates them per destination (column, z-row) in registers and
+    writes 9 per-column outputs whose BlockSpec index maps point at the
+    destination column, so no (cells, 3, 14C) reaction tensor or roll-back
+    pass exists in HBM.
 
     slot_feat rows: [x, y, z, q, sigma/2, 2*sqrt(eps), subset one-hots];
     positions must be in the canonical image used for the cell assignment
@@ -465,10 +471,9 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         re_ref = refs[18]
         lamc_ref = refs[19]
         lamv_ref = refs[20]
-        fout_ref = refs[21]
-        cout_ref = refs[22]
-        mc_ref = refs[23]
-        mv_ref = refs[24]
+        fout_refs = refs[21:30]
+        mc_ref = refs[30]
+        mv_ref = refs[31]
         dtype = feat_cols[0].dtype
         i = pl.program_id(0)
         x = i // ncy
@@ -492,6 +497,14 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
 
         mc_acc = jnp.zeros((nsub, nsub), dtype)
         mv_acc = jnp.zeros((nsub, nsub), dtype)
+        # Newton-reaction accumulation in registers: reaction forces for
+        # offset (dx, dy, dz) computed at cell (x, y, z) belong to the atoms
+        # of cell (x+dx, y+dy, z+dz); they are summed per destination
+        # (column, z-row) here and written to 9 per-column output arrays
+        # whose index maps point AT the destination column — the caller's
+        # elementwise 9-array sum replaces the former 14 HBM roll passes
+        # over a (cells, 3, 14C) reaction tensor.
+        acc = {}
         for z in range(ncz):
             rf = feat_cols[0][0, 0, z]                 # (F, C)
             ri = id_cols[0][0, 0, z, 0]                # (C,)
@@ -509,10 +522,17 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             ci = jnp.concatenate(ci_parts, axis=1)[0]  # (14C,)
             row_f, col_f, mcz, mvz = pair_block(
                 box_ref, n, rf, ri, re, cf, ci, lamc_ref[...], lamv_ref[...])
-            fout_ref[0, 0, z] = row_f
-            cout_ref[0, 0, z] = col_f
+            key = (0, z)
+            acc[key] = row_f if key not in acc else acc[key] + row_f
+            for k, off in enumerate(HALF_OFFSETS):
+                key = (col_of[off], (z + off[2]) % ncz)
+                piece = col_f[:, k * C:(k + 1) * C]
+                acc[key] = piece if key not in acc else acc[key] + piece
             mc_acc = mc_acc + mcz
             mv_acc = mv_acc + mvz
+        for j in range(9):
+            for zz in range(ncz):
+                fout_refs[j][0, 0, zz] = acc[(j, zz)]
         mc_ref[0] = mc_acc
         mv_ref[0] = mv_acc
 
@@ -533,16 +553,16 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                     + [_col_spec((ncz, emax, C), 0, 0)]
                     + [pl.BlockSpec(memory_space=pltpu.VMEM),   # lam_c
                        pl.BlockSpec(memory_space=pltpu.VMEM)])  # lam_v
+        # per-column force outputs: array j's block sits at the DESTINATION
+        # column (x+dx_j, y+dy_j), so Newton reactions land pre-rolled
         out_specs = [
-            pl.BlockSpec((1, 1, ncz, 3, C), lambda i: (i // ncy,
-                                                       jax.lax.rem(i, ncy),
-                                                       0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ncz, 3, ncand), lambda i: (i // ncy,
-                                                           jax.lax.rem(i,
-                                                                       ncy),
-                                                           0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ncz, 3, C),
+                         lambda i, dx=dx, dy=dy: (
+                             ((i // ncy) + dx) % ncx,
+                             (jax.lax.rem(i, ncy) + dy) % ncy, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for dx, dy in cols
+        ] + [
             pl.BlockSpec((1, nsub, nsub), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nsub, nsub), lambda i: (i, 0, 0),
@@ -553,22 +573,24 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
             grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=[
-                jax.ShapeDtypeStruct((ncx, ncy, ncz, 3, C), dtype),
-                jax.ShapeDtypeStruct((ncx, ncy, ncz, 3, ncand), dtype),
-                jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
-                jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
-            ],
+            out_shape=(
+                [jax.ShapeDtypeStruct((ncx, ncy, ncz, 3, C), dtype)
+                 for _ in cols]
+                + [jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype),
+                   jax.ShapeDtypeStruct((n_tiles, nsub, nsub), dtype)]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(box.astype(dtype), nreal,
           *( [slot_feat] * 9 ), *([slot_ids] * 9), slot_excl,
           lam_c_nn.astype(dtype), lam_v_nn.astype(dtype))
-        row_f, col_f, m_c, m_v = out
+        f_cols = out[:9]
+        m_c, m_v = out[9], out[10]
         n_cells = ncx * ncy * ncz
-        return (row_f.reshape(n_cells, 3, C),
-                col_f.reshape(n_cells, 3, ncand), m_c, m_v)
+        slot_f = f_cols[0]
+        for fj in f_cols[1:]:
+            slot_f = slot_f + fj
+        return slot_f.reshape(n_cells, 3, C), m_c, m_v
 
     def run(slot_feat, slot_ids, slot_excl, lam_c_nn, lam_v_nn, box, n_real):
         dtype = slot_feat.dtype
