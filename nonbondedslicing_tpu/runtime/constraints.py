@@ -115,12 +115,26 @@ def cluster_constraints(constraints, n_particles):
             np.asarray(mask, dtype=np.float64))
 
 
+def _isoceles_triangles(pairs, dists, masses):
+    """True when every contiguous-triangle cluster is a SETTLE-shaped rigid
+    body: |AB| == |AC| (two equal legs) and m_B == m_C.  Geometry may differ
+    between molecules; only the per-molecule symmetry matters."""
+    d = np.asarray(dists, dtype=np.float64).reshape(-1, 3)
+    m3 = np.asarray(masses, dtype=np.float64).reshape(-1, 3)
+    return bool(np.all(np.abs(d[:, 0] - d[:, 1]) <= 1e-12 * d[:, 0])
+                and np.all(m3[:, 1] == m3[:, 2])
+                and np.all(m3 > 0.0))
+
+
 def make_constrainer(pairs, dists, masses, n_particles, iterations=8,
                      dtype=jnp.float32, mask=None):
     pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
     if mask is not None and np.all(np.asarray(mask) == 1.0):
         mask = None
     if mask is None and _contiguous_triangles(pairs, n_particles):
+        if _isoceles_triangles(pairs, dists, masses):
+            return _make_dense_settle_constrainer(pairs, dists, masses,
+                                                  dtype)
         return _make_dense_triangle_constrainer(pairs, dists, masses,
                                                 iterations, dtype)
     return _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
@@ -216,6 +230,119 @@ def _make_dense_triangle_constrainer(pairs, dists, masses, iterations, dtype):
         lam = _solve3_rows(J, rhs)
         return _from_rows(_apply(vabc, lam, rn, 1.0))
 
+    return project_positions, project_velocities
+
+
+def _make_dense_settle_constrainer(pairs, dists, masses, dtype):
+    """Closed-form SETTLE position projection for isoceles rigid triangles
+    (Miyamoto & Kollman, J. Comput. Chem. 13:952, 1992) in the same
+    molecule-last (rows, M) layout as the dense M-SHAKE solver: one analytic
+    pass (two normalized cross products, a frame rotation, three
+    quadrant-free sin/cos extractions) replaces the 8 Newton iterations —
+    every operation is full-lane elementwise arithmetic over the molecule
+    axis, no gathers/scatters/trig.
+
+    The velocity stage keeps the exact one-shot 3x3 RATTLE solve from the
+    M-SHAKE module (already non-iterative).
+
+    The reference gets this from OpenMM core's SETTLE for rigid waters; this
+    is the TPU-native equivalent (reference repo itself carries no
+    constraint code)."""
+    m = pairs.shape[0]
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    d = np.asarray(dists, dtype=np.float64).reshape(m, 3)
+    m3 = np.asarray(masses, dtype=np.float64).reshape(m, 3)
+    ma, mb = m3[:, 0], m3[:, 1]                   # m_C == m_B (checked)
+    # canonical triangle: A at (0, ra), B/C at (-+rc, -rb); COM at origin
+    rc = 0.5 * d[:, 2]
+    t = np.sqrt(d[:, 0] ** 2 - rc ** 2)
+    ra = 2.0 * mb * t / (ma + 2.0 * mb)
+    rb = t - ra
+    ra_r = ra.astype(np_dt)[None, :]
+    rb_r = rb.astype(np_dt)[None, :]
+    rc_r = rc.astype(np_dt)[None, :]
+    wa = (ma / (ma + 2.0 * mb)).astype(np_dt)[None, :]
+    wb = (mb / (ma + 2.0 * mb)).astype(np_dt)[None, :]
+
+    def _to_rows(x):
+        p = x.reshape(m, 9).T
+        return p[0:3], p[3:6], p[6:9]             # each (3, M) xyz slabs
+
+    def _dot(u, v):
+        return jnp.sum(u * v, axis=0, keepdims=True)
+
+    def _cross(u, v):
+        return jnp.stack([u[1] * v[2] - u[2] * v[1],
+                          u[2] * v[0] - u[0] * v[2],
+                          u[0] * v[1] - u[1] * v[0]])
+
+    def project_positions(pos_ref, pos_new):
+        a0, b0, c0 = _to_rows(pos_ref)
+        a1, b1, c1 = _to_rows(pos_new)
+        com = wa * a1 + wb * (b1 + c1)            # (3, M)
+        a1 = a1 - com
+        b1 = b1 - com
+        c1 = c1 - com
+        b0a = b0 - a0
+        c0a = c0 - a0
+        # primed frame: Z' normal to the OLD triangle plane, X' = a1 x Z'
+        # (so the new A sits in the Y'Z' plane), Y' = Z' x X'
+        ez = _cross(b0a, c0a)
+        ez = ez * jax.lax.rsqrt(_dot(ez, ez))
+        ex = _cross(a1, ez)
+        ex = ex * jax.lax.rsqrt(_dot(ex, ex))
+        ey = _cross(ez, ex)
+
+        def rot(v):                               # world -> primed
+            return _dot(ex, v), _dot(ey, v), _dot(ez, v)
+
+        xb0, yb0, _ = rot(b0a)
+        xc0, yc0, _ = rot(c0a)
+        _, ya1, za1 = rot(a1)
+        xb1, yb1, zb1 = rot(b1)
+        xc1, yc1, zc1 = rot(c1)
+
+        # out-of-plane tilt phi and HH twist psi from the unconstrained
+        # z-coordinates (momentum conservation along the old plane normal)
+        sinphi = za1 / ra_r
+        cosphi = jnp.sqrt(jnp.maximum(1.0 - sinphi * sinphi, 0.0))
+        sinpsi = (zb1 - zc1) / (2.0 * rc_r * cosphi)
+        cospsi = jnp.sqrt(jnp.maximum(1.0 - sinpsi * sinpsi, 0.0))
+
+        ya2 = ra_r * cosphi
+        xb2 = -rc_r * cospsi
+        yb2 = -rb_r * cosphi - rc_r * sinpsi * sinphi
+        yc2 = -rb_r * cosphi + rc_r * sinpsi * sinphi
+
+        # in-plane rotation theta from the SHAKE-displacement condition
+        al = xb2 * (xb0 - xc0) + yb0 * yb2 + yc0 * yc2
+        be = xb2 * (yc0 - yb0) + xb0 * yb2 + xc0 * yc2
+        ga = xb0 * yb1 - xb1 * yb0 + xc0 * yc1 - xc1 * yc0
+        a2b2 = al * al + be * be
+        sinth = ((al * ga - be * jnp.sqrt(jnp.maximum(a2b2 - ga * ga, 0.0)))
+                 / a2b2)
+        costh = jnp.sqrt(jnp.maximum(1.0 - sinth * sinth, 0.0))
+
+        xa3 = -ya2 * sinth
+        ya3 = ya2 * costh
+        za3 = ra_r * sinphi
+        xb3 = xb2 * costh - yb2 * sinth
+        yb3 = xb2 * sinth + yb2 * costh
+        zb3 = -rb_r * sinphi + rc_r * sinpsi * cosphi
+        xc3 = -xb2 * costh - yc2 * sinth
+        yc3 = -xb2 * sinth + yc2 * costh
+        zc3 = -rb_r * sinphi - rc_r * sinpsi * cosphi
+
+        def unrot(x, y, z):                       # primed -> world + COM
+            return ex * x + ey * y + ez * z + com
+
+        a = unrot(xa3, ya3, za3)
+        b = unrot(xb3, yb3, zb3)
+        c = unrot(xc3, yc3, zc3)
+        return jnp.concatenate([a, b, c], axis=0).T.reshape(-1, 3)
+
+    _, project_velocities = _make_dense_triangle_constrainer(
+        pairs, dists, masses, 1, dtype)
     return project_positions, project_velocities
 
 

@@ -48,6 +48,36 @@ def test_positions_restored_to_constraints():
     assert np.max(np.abs(pos_c - pos1)) < 0.02
 
 
+def test_settle_matches_converged_mshake():
+    """The closed-form SETTLE projection (auto-dispatched for isoceles
+    triangle clusters) equals the converged M-SHAKE solution of the same
+    Lagrange equations to machine precision (Miyamoto & Kollman 1992:
+    SETTLE is the analytic SHAKE solution for rigid water)."""
+    from nonbondedslicing_tpu.runtime.constraints import (
+        _make_dense_settle_constrainer, _make_dense_triangle_constrainer)
+
+    pos0, pairs, dists, masses = _waters(50, seed=5)
+    rng = np.random.default_rng(6)
+    pos1 = pos0 + rng.normal(scale=0.004, size=pos0.shape)
+    pp_s, _ = _make_dense_settle_constrainer(pairs, dists, masses,
+                                             jnp.float64)
+    pp_m, _ = _make_dense_triangle_constrainer(pairs, dists, masses, 60,
+                                               jnp.float64)
+    out_s = np.asarray(pp_s(jnp.asarray(pos0), jnp.asarray(pos1)))
+    out_m = np.asarray(pp_m(jnp.asarray(pos0), jnp.asarray(pos1)))
+    np.testing.assert_allclose(out_s, out_m, atol=1e-12)
+    # per-molecule momentum identical to the unconstrained update
+    dp = (out_s - pos1).reshape(-1, 3, 3)
+    m3 = masses.reshape(-1, 3)
+    np.testing.assert_allclose(np.einsum("mi,mix->mx", m3, dp), 0.0,
+                               atol=1e-12)
+    # auto-dispatch: water geometry (isoceles, contiguous) picks SETTLE
+    proj_x, _ = make_constrainer(pairs, dists, masses, len(masses),
+                                 dtype=jnp.float64)
+    out_auto = np.asarray(proj_x(jnp.asarray(pos0), jnp.asarray(pos1)))
+    np.testing.assert_allclose(out_auto, out_s, atol=0.0)
+
+
 def test_position_projection_conserves_momentum():
     pos0, pairs, dists, masses = _waters(10, seed=3)
     proj_x, _ = make_constrainer(pairs, dists, masses, len(masses),
