@@ -24,7 +24,7 @@ def nb14_interactions(positions, box, atoms, sigma, four_eps, qq, slice_ids,
     """
     dtype = positions.dtype
     if atoms.shape[0] == 0:
-        return (jnp.zeros((num_slices, 2), dtype),
+        return (jnp.zeros((num_slices, 2), jnp.float64),
                 jnp.zeros((num_particles, 3), dtype))
     i = atoms[:, 0]
     j = atoms[:, 1]
@@ -46,9 +46,12 @@ def nb14_interactions(positions, box, atoms, sigma, four_eps, qq, slice_ids,
     e_vdw = four_eps * (sig6 - 1.0) * sig6
     e_coul = ONE_4PI_EPS0 * qq * rinv
 
-    slice_energies = jnp.zeros((num_slices, 2), dtype)
-    slice_energies = slice_energies.at[slice_ids, 0].add(e_coul)
-    slice_energies = slice_energies.at[slice_ids, 1].add(e_vdw)
+    # f64 per-slice accumulation (energy path only; see direct.slice_reduce)
+    slice_energies = jnp.zeros((num_slices, 2), jnp.float64)
+    slice_energies = slice_energies.at[slice_ids, 0].add(
+        e_coul.astype(jnp.float64))
+    slice_energies = slice_energies.at[slice_ids, 1].add(
+        e_vdw.astype(jnp.float64))
 
     forces = jnp.zeros((num_particles, 3), dtype)
     forces = forces.at[i].add(f).at[j].add(-f)
@@ -62,7 +65,7 @@ def exclusion_corrections(positions, box, pairs, charge, sig_half, eps2,
     """Subtract reciprocal-space contributions of excluded pairs."""
     dtype = positions.dtype
     if pairs.shape[0] == 0:
-        return (jnp.zeros((num_slices, 2), dtype),
+        return (jnp.zeros((num_slices, 2), jnp.float64),
                 jnp.zeros((num_particles, 3), dtype))
     i = pairs[:, 0]
     j = pairs[:, 1]
@@ -95,8 +98,9 @@ def exclusion_corrections(positions, box, pairs, charge, sig_half, eps2,
     # reference subtracts: forces[i] -= lam*dedr*dr (cpp:473-478)
     f = -(lam_c * dedr)[:, None] * dr
 
-    slice_energies = jnp.zeros((num_slices, 2), dtype)
-    slice_energies = slice_energies.at[sl, 0].add(e_coul)
+    # f64 per-slice accumulation (energy path only; see direct.slice_reduce)
+    slice_energies = jnp.zeros((num_slices, 2), jnp.float64)
+    slice_energies = slice_energies.at[sl, 0].add(e_coul.astype(jnp.float64))
 
     forces = jnp.zeros((num_particles, 3), dtype)
     forces = forces.at[i].add(f).at[j].add(-f)
@@ -120,7 +124,8 @@ def exclusion_corrections(positions, box, pairs, charge, sig_half, eps2,
             * (1.0 - expd * (1.0 + dar2 + 0.5 * dar4 + dar6 / 6.0)),
             0.0)
         fv = -(lam_v * dedr_v)[:, None] * dr
-        slice_energies = slice_energies.at[sl, 1].add(e_vdw)
+        slice_energies = slice_energies.at[sl, 1].add(
+            e_vdw.astype(jnp.float64))
         forces = forces.at[i].add(fv).at[j].add(-fv)
 
     return slice_energies, forces
@@ -223,12 +228,15 @@ def exclusion_corrections_rows(positions, charge, sig_half, eps2, pair_slices,
         f_acc[i] = f_acc[i] + f
         f_acc[j] = f_acc[j] - f
 
-    slice_e = jnp.zeros((num_slices, 2), dtype)
+    # f64 per-slice reduction (XLA DCEs it on force-only evaluations)
+    slice_e = jnp.zeros((num_slices, 2), jnp.float64)
     for k in range(3):
         slice_e = slice_e.at[:, 0].add(
-            jnp.einsum("m,ms->s", e_c_rows[k][0], oh[k]))
+            jnp.einsum("m,ms->s", e_c_rows[k][0], oh[k],
+                       preferred_element_type=jnp.float64))
         if ljpme:
             slice_e = slice_e.at[:, 1].add(
-                jnp.einsum("m,ms->s", e_v_rows[k][0], oh[k]))
+                jnp.einsum("m,ms->s", e_v_rows[k][0], oh[k],
+                           preferred_element_type=jnp.float64))
     forces = jnp.concatenate(f_acc, axis=0).T.reshape(n, 3)
     return slice_e, forces

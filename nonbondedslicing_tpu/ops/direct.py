@@ -58,8 +58,14 @@ def slice_reduce(values, sl, num_slices):
     ``num_slices`` masked reductions instead of one giant scatter: TPU has no
     fast scatter over millions of duplicate indices, but S = n(n+1)/2 is
     compile-time small (the analog of the reference GPU kernels'
-    register-resident per-slice accumulators, kernels/pme.cc:211)."""
-    return jnp.stack([jnp.sum(jnp.where(sl == s, values, 0))
+    register-resident per-slice accumulators, kernels/pme.cc:211).
+
+    Accumulates in f64 regardless of the term dtype: per-slice energy
+    scalars feed the total-energy cancellation (self energy ~1e6 kJ/mol vs
+    total ~1e5) and dE/dlambda, and these reductions run only on energy
+    evaluations, never in the force-only MD inner loop."""
+    return jnp.stack([jnp.sum(jnp.where(sl == s, values, 0),
+                              dtype=jnp.float64)
                       for s in range(num_slices)])
 
 
@@ -267,7 +273,8 @@ def make_direct_space(*, mode, periodic, cutoff=None, krf=0.0, crf=0.0,
                                  block)
         starts = jnp.arange(0, padded["n_pad"], block)
         slice_parts, force_blocks = jax.lax.map(block_fn, starts)
-        slice_energies = jnp.sum(slice_parts, axis=0)
+        # cross-block reduction in f64 (energy path only)
+        slice_energies = jnp.sum(slice_parts, axis=0, dtype=jnp.float64)
         forces = force_blocks.reshape(padded["n_pad"], 3)[:n]
         return slice_energies, forces
 

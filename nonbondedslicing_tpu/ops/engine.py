@@ -185,7 +185,10 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
         lam_c = lam[:, COUL]
         lam_v = lam[:, VDW]
 
-        slice_energies = jnp.zeros((nslices, 2), dtype)
+        # per-slice energy scalars accumulate in f64: they carry the
+        # ~1e6 kJ/mol self-energy cancellation and the exact dE/dlambda;
+        # forces and all pair math stay in the working dtype
+        slice_energies = jnp.zeros((nslices, 2), jnp.float64)
         forces = jnp.zeros((n, 3), dtype)
 
         if is_ewald_family and include_reciprocal:
@@ -195,21 +198,25 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
             # ---- self energy (ReferenceSlicedLJCoulombIxn.cpp:203-213);
             # per-subset reduction via the one-hot matmul (a 23k-element
             # scatter per step is near-serial on TPU)
-            self_coul = -ONE_4PI_EPS0 * charge * charge * alpha / SQRT_PI
+            charge64 = charge.astype(jnp.float64)
+            onehot64 = onehot.astype(jnp.float64)
+            self_coul = -ONE_4PI_EPS0 * charge64 * charge64 * alpha / SQRT_PI
             slice_energies = slice_energies.at[diag_ids, COUL].add(
-                self_coul @ onehot)
+                self_coul @ onehot64)
             if method == NonbondedForce.LJPME:
                 self_vdw = (plan.dispersion_alpha ** 6 * 64.0
-                            * sig_half ** 6 * eps2 ** 2 / 12.0)
+                            * sig_half.astype(jnp.float64) ** 6
+                            * eps2.astype(jnp.float64) ** 2 / 12.0)
                 slice_energies = slice_energies.at[diag_ids, VDW].add(
-                    self_vdw @ onehot)
+                    self_vdw @ onehot64)
             # ---- neutralizing plasma (cpp:214-221)
-            volume = box_volume(box)
-            q_sub = charge @ onehot  # (nsub,)
+            volume = box_volume(box).astype(jnp.float64)
+            q_sub = charge64 @ onehot64  # (nsub,)
             factor = (-1.0 / (4.0 * alpha * alpha)) / (2.0 * EPSILON0 * volume)
             qi = q_sub[slice_pairs[:, 0]]
             qj = q_sub[slice_pairs[:, 1]]
-            w = jnp.where(slice_pairs[:, 0] == slice_pairs[:, 1], 1.0, 2.0).astype(dtype)
+            w = jnp.where(slice_pairs[:, 0] == slice_pairs[:, 1],
+                          1.0, 2.0).astype(jnp.float64)
             slice_energies = slice_energies.at[:, COUL].add(w * qi * qj * factor)
             # ---- k-space
             if method == NonbondedForce.Ewald:
@@ -221,7 +228,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                         positions, box, charge, subsets, lam_c,
                         kvec_ints=kvec_ints, alpha=alpha, num_subsets=nsub,
                         num_slices=nslices, slice_subset_pairs=slice_pairs)
-                slice_energies = slice_energies.at[:, COUL].add(e_k)
+                slice_energies = slice_energies.at[:, COUL].add(
+                    e_k.astype(jnp.float64))
                 forces = forces + f_k
             else:
                 if pme_sharded is not None:
@@ -235,7 +243,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                         slice_subset_pairs=slice_pairs, slice_table=slice_table,
                         eterm=(None if eterm0 is None
                                else eterm0.astype(dtype)))
-                slice_energies = slice_energies.at[:, COUL].add(e_k)
+                slice_energies = slice_energies.at[:, COUL].add(
+                    e_k.astype(jnp.float64))
                 forces = forces + f_k
                 if method == NonbondedForce.LJPME:
                     c6 = 8.0 * sig_half ** 3 * eps2
@@ -252,7 +261,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                             slice_table=slice_table, dispersion=True,
                             eterm=(None if dterm0 is None
                                    else dterm0.astype(dtype)))
-                    slice_energies = slice_energies.at[:, VDW].add(e_d)
+                    slice_energies = slice_energies.at[:, VDW].add(
+                        e_d.astype(jnp.float64))
                     forces = forces + f_d
 
         overflow = jnp.zeros((), jnp.int32)
@@ -264,7 +274,7 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                 e_dir, f_dir, overflow = out
             else:
                 e_dir, f_dir = out
-            slice_energies = slice_energies + e_dir
+            slice_energies = slice_energies + e_dir.astype(jnp.float64)
             forces = forces + f_dir
 
             if is_ewald_family and not getattr(direct_fn,
@@ -277,7 +287,7 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                     ljpme=(method == NonbondedForce.LJPME),
                     dispersion_alpha=plan.dispersion_alpha,
                     num_slices=nslices, num_particles=n)
-                slice_energies = slice_energies + e_x
+                slice_energies = slice_energies + e_x.astype(jnp.float64)
                 forces = forces + f_x
 
             sigma14, four_eps14, qq14 = params.nb14_params(data, gvals)
@@ -286,7 +296,7 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                 data["nb14_slice"], lam_c, lam_v,
                 periodic=plan.exceptions_periodic, num_slices=nslices,
                 num_particles=n)
-            slice_energies = slice_energies + e_14
+            slice_energies = slice_energies + e_14.astype(jnp.float64)
             forces = forces + f_14
 
             # per-slice long-range dispersion correction / volume
@@ -296,7 +306,8 @@ def make_compute(plan: Plan, include_direct: bool, include_reciprocal: bool,
                           NonbondedForce.PME):
                 volume = box_volume(box)
                 slice_energies = slice_energies.at[:, VDW].add(
-                    data["dispersion_coefficients"].astype(dtype) / volume)
+                    data["dispersion_coefficients"].astype(jnp.float64)
+                    / box_volume(box).astype(jnp.float64))
 
         if with_aux:
             return slice_energies, forces, {"overflow": overflow}

@@ -65,8 +65,11 @@ def ewald_reciprocal(positions, box, charge, subsets, lam_coul_s, *,
         s_re = jax.lax.psum(s_re, psum_axis)
         s_im = jax.lax.psum(s_im, psum_axis)
 
-    # slice energies: diag gets 1x, off-diag 2x (cpp:347-351)
-    emat = (s_re * ak) @ s_re.T + (s_im * ak) @ s_im.T  # (nsub, nsub)
+    # slice energies: diag gets 1x, off-diag 2x (cpp:347-351);
+    # f64 accumulation over k (energy path only; DCE'd when unused)
+    emat = (jnp.matmul(s_re * ak, s_re.T, preferred_element_type=jnp.float64)
+            + jnp.matmul(s_im * ak, s_im.T,
+                         preferred_element_type=jnp.float64))
     pair_i = slice_subset_pairs[:, 0]
     pair_j = slice_subset_pairs[:, 1]
     weights = jnp.where(pair_i == pair_j, 1.0, 2.0).astype(dtype)

@@ -341,10 +341,13 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
                 state["cand_idx"], lam_c_nn, lam_v_nn, box, n)
             row_f = row_f[:n_cells]
             col_f = col_f[:n_cells]
-        slice_energies = jnp.zeros((nslices, 2), dtype)
+        # f64 per-slice accumulation; only materialized on energy
+        # evaluations (force-only inner steps DCE all of it)
+        slice_energies = jnp.zeros((nslices, 2), jnp.float64)
         if energies:
-            mc = jnp.sum(m_c, axis=0)
-            mv = jnp.sum(m_v, axis=0)
+            # cross-tile moment reduction in f64 (see ops/pallas_direct.py)
+            mc = jnp.sum(m_c, axis=0, dtype=jnp.float64)
+            mv = jnp.sum(m_v, axis=0, dtype=jnp.float64)
             a = slice_pairs_np[:, 0]
             b = slice_pairs_np[:, 1]
             ec = jnp.where(a == b, mc[a, a], mc[a, b] + mc[b, a])
@@ -369,22 +372,25 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
                       == jnp.arange(nsub)[None, :]).astype(dtype)
             diag_ids = np.array([s * (s + 3) // 2 for s in range(nsub)])
             # self energy (ReferenceSlicedLJCoulombIxn.cpp:203-213)
-            self_coul = -ONE_4PI_EPS0 * charge * charge * alpha / SQRT_PI
+            charge64 = charge.astype(jnp.float64)
+            onehot64 = onehot.astype(jnp.float64)
+            self_coul = -ONE_4PI_EPS0 * charge64 * charge64 * alpha / SQRT_PI
             slice_energies = slice_energies.at[diag_ids, COUL].add(
-                self_coul @ onehot)
+                self_coul @ onehot64)
             if method == NonbondedForce.LJPME:
                 self_vdw = (plan.dispersion_alpha ** 6 * 64.0
-                            * sig_half ** 6 * eps2 ** 2 / 12.0)
+                            * sig_half.astype(jnp.float64) ** 6
+                            * eps2.astype(jnp.float64) ** 2 / 12.0)
                 slice_energies = slice_energies.at[diag_ids, VDW].add(
-                    self_vdw @ onehot)
+                    self_vdw @ onehot64)
             # neutralizing plasma (cpp:214-221)
-            volume = box_volume(box)
-            q_sub = charge @ onehot
+            volume = box_volume(box).astype(jnp.float64)
+            q_sub = charge64 @ onehot64
             factor = (-1.0 / (4.0 * alpha * alpha)) / (2.0 * EPSILON0 * volume)
             qi = q_sub[slice_pairs[:, 0]]
             qj = q_sub[slice_pairs[:, 1]]
             w = jnp.where(slice_pairs[:, 0] == slice_pairs[:, 1],
-                          1.0, 2.0).astype(dtype)
+                          1.0, 2.0).astype(jnp.float64)
             slice_energies = slice_energies.at[:, COUL].add(w * qi * qj * factor)
 
         if is_pme:
@@ -401,7 +407,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
                 slice_table=slice_table, interpret=interpret,
                 energies=energies,
                 eterm=(None if eterm0 is None else eterm0.astype(dtype)))
-            slice_energies = slice_energies.at[:, COUL].add(e_k)
+            slice_energies = slice_energies.at[:, COUL].add(
+                e_k.astype(jnp.float64))
             slot_f = slot_f + _bricks_to_cells(f_kb, counts, bricks)
             if method == NonbondedForce.LJPME:
                 c6_b = 8.0 * feat_b[:, 1, :] ** 3 * feat_b[:, 2, :]
@@ -413,7 +420,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
                     slice_subset_pairs=slice_pairs, slice_table=slice_table,
                     dispersion=True, interpret=interpret, energies=energies,
                     eterm=(None if dterm0 is None else dterm0.astype(dtype)))
-                slice_energies = slice_energies.at[:, VDW].add(e_d)
+                slice_energies = slice_energies.at[:, VDW].add(
+                    e_d.astype(jnp.float64))
                 slot_f = slot_f + _bricks_to_cells(f_db, counts, bricks)
         elif method == NonbondedForce.Ewald:
             from . import ewald as ewald_mod
@@ -422,7 +430,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
                 positions, box, charge, subsets, lam_c, kvec_ints=kvec_ints,
                 alpha=plan.ewald_alpha, num_subsets=nsub, num_slices=nslices,
                 slice_subset_pairs=slice_pairs)
-            slice_energies = slice_energies.at[:, COUL].add(e_k)
+            slice_energies = slice_energies.at[:, COUL].add(
+                e_k.astype(jnp.float64))
 
         # single slot->atom unsort (slot indices unique per real atom)
         forces = jnp.zeros((n + 1, 3), dtype).at[slots].add(
@@ -469,9 +478,9 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         # per-slice long-range dispersion correction / volume
         if method in (NonbondedForce.CutoffPeriodic, NonbondedForce.Ewald,
                       NonbondedForce.PME):
-            volume = box_volume(box)
             slice_energies = slice_energies.at[:, VDW].add(
-                data["dispersion_coefficients"].astype(dtype) / volume)
+                data["dispersion_coefficients"].astype(jnp.float64)
+                / box_volume(box).astype(jnp.float64))
 
         disp = positions - state["pos0"]
         maxdisp2 = jnp.max(jnp.sum(disp * disp, axis=-1))

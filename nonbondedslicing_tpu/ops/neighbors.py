@@ -274,7 +274,8 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
         if mesh is None:
             starts = jnp.arange(0, n_cells_pad, g)
             slice_parts, f_parts = jax.lax.map(chunk_fn, starts)
-            slice_energies = jnp.sum(slice_parts, axis=0)
+            # cross-chunk reduction in f64 (energy path only)
+            slice_energies = jnp.sum(slice_parts, axis=0, dtype=jnp.float64)
             f_rows_all = f_parts.reshape(-1, 3)
         else:
             from jax.sharding import PartitionSpec as P
@@ -284,8 +285,9 @@ def make_cell_direct_space(*, mode, cutoff, counts, capacity, krf=0.0, crf=0.0,
                 dev = jax.lax.axis_index(shard_axis)
                 starts = dev * cells_per_dev + jnp.arange(0, cells_per_dev, g)
                 slice_parts, f_parts = jax.lax.map(chunk_fn, starts)
-                slice_e = jax.lax.psum(jnp.sum(slice_parts, axis=0),
-                                       shard_axis)
+                slice_e = jax.lax.psum(
+                    jnp.sum(slice_parts, axis=0, dtype=jnp.float64),
+                    shard_axis)
                 return slice_e, f_parts.reshape(cells_per_dev * capacity, 3)
 
             slice_energies, f_rows_all = jax.shard_map(

@@ -710,8 +710,11 @@ def make_pallas_direct_space(*, mode, cutoff, counts, capacity, krf=0.0,
         row_f = row_f[:n_cells]
         col_f = col_f[:n_cells]
 
-        mc = jnp.sum(m_c, axis=0)
-        mv = jnp.sum(m_v, axis=0)
+        # cross-tile moment reduction in f64: per-tile partials are f32
+        # (Mosaic has no f64), but the S-scalar totals feed the self-energy
+        # cancellation in the total
+        mc = jnp.sum(m_c, axis=0, dtype=jnp.float64)
+        mv = jnp.sum(m_v, axis=0, dtype=jnp.float64)
         a = jnp.asarray(spairs[:, 0])
         b = jnp.asarray(spairs[:, 1])
         # half-shell: each unordered pair counted once -> no 1/2 weights

@@ -585,7 +585,10 @@ def pme_slice_energies_ri(re, im, eterm_weighted, slice_subset_pairs):
     fr = re.reshape(nsub, -1)
     fi = im.reshape(nsub, -1)
     ew = eterm_weighted.reshape(-1)[None, :]
-    emat = (fr * ew) @ fr.T + (fi * ew) @ fi.T
+    # f64 accumulation over the grid: the (S,) scalars feed the total-energy
+    # cancellation; this runs only when energies are requested
+    emat = (jnp.matmul(fr * ew, fr.T, preferred_element_type=jnp.float64)
+            + jnp.matmul(fi * ew, fi.T, preferred_element_type=jnp.float64))
     pair_i = slice_subset_pairs[:, 0]
     pair_j = slice_subset_pairs[:, 1]
     scale = jnp.where(pair_i == pair_j, 0.5, 1.0).astype(emat.dtype)
@@ -602,7 +605,11 @@ def pme_slice_energies(spectra, eterm, slice_subset_pairs):
     nsub = spectra.shape[0]
     flat = spectra.reshape(nsub, -1)
     weighted = flat * eterm.reshape(-1)[None, :]
-    emat = jnp.real(weighted @ jnp.conj(flat).T)  # (nsub, nsub)
+    # f64 accumulation over the grid (energy path only)
+    wr, wi = jnp.real(weighted), jnp.imag(weighted)
+    fr, fi = jnp.real(flat), jnp.imag(flat)
+    emat = (jnp.matmul(wr, fr.T, preferred_element_type=jnp.float64)
+            + jnp.matmul(wi, fi.T, preferred_element_type=jnp.float64))
     pair_i = slice_subset_pairs[:, 0]
     pair_j = slice_subset_pairs[:, 1]
     scale = jnp.where(pair_i == pair_j, 0.5, 1.0).astype(emat.dtype)
