@@ -27,7 +27,12 @@ BASELINE_NS_DAY = 500.0  # proxy for reference CUDA platform, see BASELINE.md
 # measurements (the equilibrated-state file is size-specific)
 N_MOLECULES = int(os.environ.get("NBS_MOLECULES", "7763"))
 RIGID = os.environ.get("NBS_FLEXIBLE", "0") != "1"
-DT_PS = 0.002 if RIGID else 0.001   # rigid water (SHAKE/RATTLE) runs 2 fs
+# NBS_HMR=1: hydrogen-mass repartitioning (H -> 3x mass, moved from O; total
+# molecular mass conserved) enabling a 4 fs step — the regime production CUDA
+# benchmarks quote.  Positions stay equilibrated; velocities are redrawn
+# from Maxwell-Boltzmann at 300 K for the repartitioned masses.
+HMR = RIGID and os.environ.get("NBS_HMR", "0") == "1"
+DT_PS = 0.004 if HMR else (0.002 if RIGID else 0.001)
 STEPS_MEASURE = 100
 D_OH, D_HH = 0.09572, 0.15139
 
@@ -145,6 +150,11 @@ def main():
     masses = np.full(n, 15.999)
     masses[1::3] = 1.008
     masses[2::3] = 1.008
+    if HMR:
+        m_h = 3.024
+        masses[1::3] = m_h
+        masses[2::3] = m_h
+        masses[0::3] = 15.999 - 2.0 * (m_h - 1.008)
 
     # size the static cell capacity from the actual initial density
     # (native C++ occupancy scan + 25% fluctuation margin)
@@ -215,6 +225,13 @@ def main():
         blob = np.load(state_file)
         pos_np = blob["positions"]
         vel_np = blob["velocities"]
+        if HMR:
+            # saved velocities belong to the unpartitioned masses; redraw
+            # Maxwell-Boltzmann at 300 K for the HMR masses (RATTLE projects
+            # out the small constraint-violating components on step 1)
+            rng_v = np.random.default_rng(11)
+            vel_np = (rng_v.standard_normal(pos_np.shape)
+                      * np.sqrt(kB * 300.0 / masses)[:, None])
         # size the capacity from the EQUILIBRATED density, not the lattice
         occ = native.max_cell_occupancy(pos_np, plan.box0, cfg[0])
         state["capacity"] = max(8, int(np.ceil((occ + 8) / 4) * 4))
@@ -282,7 +299,7 @@ def main():
     steps_per_s = STEPS_MEASURE / elapsed
     ns_day = steps_per_s * DT_PS * 86400 / 1000
     print(json.dumps({
-        "metric": "ns_day_23k_pme",
+        "metric": "ns_day_23k_pme_hmr_4fs" if HMR else "ns_day_23k_pme",
         "value": round(ns_day, 2),
         "unit": "ns/day",
         "vs_baseline": round(ns_day / BASELINE_NS_DAY, 4),
