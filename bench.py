@@ -133,8 +133,14 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax_nbs"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # also persist XLA-internal caches (autotune/kernel) where supported
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:
         pass
+    if os.environ.get("NBS_COMPILE_DIAG") == "1":
+        # log every XLA compile and why the persistent cache missed
+        jax.config.update("jax_log_compiles", True)
+        jax.config.update("jax_explain_cache_misses", True)
 
     import nonbondedslicing_tpu as nbs
     from nonbondedslicing_tpu.ops import engine as engine_mod
