@@ -263,15 +263,23 @@ def build_plan(force: SlicedNonbondedForce, system) -> Plan:
         ewald_alpha, kx, ky, kz = ewald_params.calc_ewald_parameters(box, cutoff, tol)
         ewald_kmax = (kx, ky, kz)
     elif method in (NonbondedForce.PME, NonbondedForce.LJPME):
+        # legal=True rounds auto-computed sizes up to prime factors <= 13,
+        # matching the reference GPU platforms (findLegalDimension at
+        # CommonNonbondedSlicingKernels.cpp:440-449) — large boxes otherwise
+        # land on primes (e.g. 89 at 100k atoms) that both the jnp.fft
+        # fallback and MXU tiling handle badly; user-supplied grids pass
+        # through untouched
         alpha0, nx0, ny0, nz0 = force.getPMEParameters()
         ewald_alpha, nx, ny, nz = ewald_params.calc_pme_parameters(
-            box, cutoff, tol, dispersion=False, alpha=alpha0, grid=(nx0, ny0, nz0))
+            box, cutoff, tol, dispersion=False, alpha=alpha0,
+            grid=(nx0, ny0, nz0), legal=True)
         pme_grid = (nx, ny, nz)
         pme_moduli = pme_ops.bspline_moduli(pme_grid, order=5)
         if method == NonbondedForce.LJPME:
             alpha0, nx0, ny0, nz0 = force.getLJPMEParameters()
             dispersion_alpha, dnx, dny, dnz = ewald_params.calc_pme_parameters(
-                box, cutoff, tol, dispersion=True, alpha=alpha0, grid=(nx0, ny0, nz0))
+                box, cutoff, tol, dispersion=True, alpha=alpha0,
+                grid=(nx0, ny0, nz0), legal=True)
             dispersion_grid = (dnx, dny, dnz)
             dpme_moduli = pme_ops.bspline_moduli(dispersion_grid, order=5)
 

@@ -129,3 +129,28 @@ def test_in_context_pme_parameters_match_openmm():
     dalpha, dx, dy, dz = force.getLJPMEParametersInContext(ctx)
     assert abs(dalpha - 2.6282608849) < 1e-9
     assert (dx, dy, dz) == (13, 13, 13)
+
+
+def test_plan_grid_sizes_are_fft_legal():
+    """build_plan legalizes auto-computed PME grid sizes to prime factors
+    <= 13 (reference GPU platforms' findLegalDimension,
+    CommonNonbondedSlicingKernels.cpp:440-449): a 9.99 nm box would land on
+    the prime 89 raw."""
+    from nonbondedslicing_tpu.ops import plan as plan_mod
+    box = 9.986
+    system = nbs.System()
+    system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0),
+                                        (0, 0, box))
+    force = nbs.SlicedNonbondedForce(1)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.PME)
+    force.setCutoffDistance(0.9)
+    force.setEwaldErrorTolerance(5e-4)
+    for i in range(8):
+        system.addParticle(16.0)
+        force.addParticle(0.1 * (-1) ** i, 0.3, 0.5)
+    system.addForce(force)
+    raw = ewald_params.calc_pme_parameters(
+        np.diag([box] * 3), 0.9, 5e-4)
+    assert raw[1:] == (89, 89, 89)  # prime raw size
+    plan = plan_mod.build_plan(force, system)
+    assert plan.pme_grid == (90, 90, 90)
