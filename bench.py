@@ -135,6 +135,15 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
         # also persist XLA-internal caches (autotune/kernel) where supported
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        # drop traceback frames from MLIR locations: the Mosaic payload is
+        # serialized WITH debug info (tpu_custom_call.py), so location
+        # frames are the one part of a Pallas program the cache key's
+        # strip-debuginfo pass cannot reach — with the default setting ANY
+        # source-line shift in ops/pallas_*.py / ops/fused.py /
+        # runtime/fastpath.py invalidates every cached executable
+        # (docs/devnotes.md "Compile-cache fragility").  Verified: limit=0
+        # makes the canonical-IR hash identical under line shifts.
+        jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass
     if os.environ.get("NBS_COMPILE_DIAG") == "1":

@@ -23,6 +23,7 @@ if os.environ.get("NBS_NO_CACHE") != "1":
                       os.path.expanduser("~/.cache/jax_nbs"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    jax.config.update("jax_traceback_in_locations_limit", 0)
 jax.config.update("jax_explain_cache_misses", True)
 
 import bench

@@ -16,6 +16,8 @@ try:  # persistent compile cache: repeat suite runs skip recompiles
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_nbs"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # line-shift-stable cache keys for Pallas programs (docs/devnotes.md)
+    jax.config.update("jax_traceback_in_locations_limit", 0)
 except Exception:
     pass
 
