@@ -127,6 +127,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the tunneled TPU backend occasionally drops for a while (observed
+    # multi-hour outages); retry initialization a few times before giving
+    # up so a transient hiccup doesn't record a failed bench artifact
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as exc:
+            print(f"# backend init failed (attempt {attempt + 1}/5): {exc}",
+                  file=sys.stderr)
+            if attempt == 4:
+                raise
+            time.sleep(90)
+
     # persistent compilation cache: repeated bench runs skip the multi-minute
     # XLA/Mosaic compile of the fused MD step
     try:
