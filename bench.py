@@ -122,24 +122,56 @@ def build_system():
     return system, force, positions, box, bonds, constraints
 
 
+def _probe_backend_with_deadline(total_s, attempt_s):
+    """Verify the default JAX backend initializes, without ever letting this
+    process hang on it.  Each probe is a subprocess killed after
+    ``attempt_s``; probing stops at the ``total_s`` deadline and raises."""
+    import subprocess
+
+    if os.environ.get("NBS_SKIP_BACKEND_PROBE") == "1":
+        return
+    deadline = time.time() + total_s
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = min(attempt_s, max(5.0, deadline - time.time()))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print(d[0].platform, len(d))"],
+                timeout=budget, capture_output=True, text=True)
+            if proc.returncode == 0:
+                print(f"# backend probe ok: {proc.stdout.strip()}",
+                      file=sys.stderr)
+                return
+            msg = (proc.stderr or proc.stdout).strip().splitlines()
+            msg = msg[-1] if msg else "unknown error"
+        except subprocess.TimeoutExpired:
+            msg = f"hung > {budget:.0f}s (tunnel down?)"
+        print(f"# backend probe failed (attempt {attempt}): {msg}",
+              file=sys.stderr)
+        remaining = deadline - time.time()
+        if remaining <= 5.0:
+            raise RuntimeError(
+                f"JAX default backend failed to initialize within "
+                f"{total_s:.0f}s ({attempt} probe attempts); last: {msg}")
+        time.sleep(min(60.0, max(1.0, remaining - attempt_s)))
+
+
 def main():
     os.environ.setdefault("NBS_TPU_DISABLE_X64", "0")
+
+    # The tunneled TPU backend occasionally drops for a while (observed
+    # multi-hour outages), and a dead tunnel HANGS jax.devices() for ~27 min
+    # rather than raising — retrying in-process blew the round-3 driver
+    # timeout (BENCH_r03 rc=124).  Probe the backend in subprocesses, each
+    # with its own hard timeout, under one TOTAL deadline, so a dead tunnel
+    # yields a fast clear failure instead of rc=124.
+    _probe_backend_with_deadline(total_s=540.0, attempt_s=150.0)
+
     import jax
     import jax.numpy as jnp
-
-    # the tunneled TPU backend occasionally drops for a while (observed
-    # multi-hour outages); retry initialization a few times before giving
-    # up so a transient hiccup doesn't record a failed bench artifact
-    for attempt in range(5):
-        try:
-            jax.devices()
-            break
-        except RuntimeError as exc:
-            print(f"# backend init failed (attempt {attempt + 1}/5): {exc}",
-                  file=sys.stderr)
-            if attempt == 4:
-                raise
-            time.sleep(90)
 
     # persistent compilation cache: repeated bench runs skip the multi-minute
     # XLA/Mosaic compile of the fused MD step
