@@ -85,7 +85,10 @@ class State:
 
 
 class VerletIntegrator:
-    """Leapfrog Verlet integrator (kinematics only; no constraints yet)."""
+    """Leapfrog Verlet integrator.  ``step()`` applies the system's distance
+    constraints (M-SHAKE/RATTLE, SETTLE for rigid water) around each leapfrog
+    update — on both the fused fast path and the per-step fallback
+    (see Context._integrate)."""
 
     def __init__(self, step_size):
         self._dt = float(step_size)
@@ -144,6 +147,10 @@ class _CompiledSliced:
         if cap is not None and cap >= self.plan.num_particles:
             return False
         self.capacity_scale *= 2
+        # compiled fns for superseded capacities are never called again;
+        # drop them so overflow-driven growth does not retain executables
+        self._fns = {k: v for k, v in self._fns.items()
+                     if k[2] == self.capacity_scale}
         return True
 
     def fn(self, include_direct, include_reciprocal):
@@ -633,9 +640,13 @@ class Context:
         proj_x = proj_v = None
         if constraints is not None:
             from ..runtime.constraints import make_constrainer
+            # f64 regardless of compiled dtype: this host fallback path is
+            # off the fused fast path, and round-tripping the f64 host
+            # positions through f32 every step would add rounding the
+            # unconstrained branch does not incur
             proj_x, proj_v = make_constrainer(
                 constraints[0], constraints[1], masses,
-                self._system.getNumParticles(), dtype=self._dtype,
+                self._system.getNumParticles(), dtype=jnp.float64,
                 mask=constraints[2])
         for _ in range(steps):
             _, forces, _ = self._evaluate((1 << 32) - 1)
@@ -645,8 +656,8 @@ class Context:
             else:
                 # SHAKE/RATTLE around the leapfrog update (same staging as
                 # runtime/fastpath.py integrate())
-                pos = jnp.asarray(self._positions, self._dtype)
-                vel = jnp.asarray(self._velocities, self._dtype)
+                pos = jnp.asarray(self._positions, jnp.float64)
+                vel = jnp.asarray(self._velocities, jnp.float64)
                 pos_new = proj_x(pos, pos + dt * vel)
                 vel = proj_v(pos_new, (pos_new - pos) / dt)
                 self._positions = np.asarray(pos_new, dtype=np.float64)

@@ -22,6 +22,13 @@ SPMD program:
 
 Usage: build with a Mesh over an ``atoms`` axis and call inside jit; XLA
 partitions per the shard_map specs with collectives over ICI.
+
+NOTE — production multi-chip MD lives in ``parallel/fused_shard.py``
+(``make_sharded_md_step``: spatial x-slab decomposition, K-step scan blocks
+per dispatch, sharded PME, constraints).  This module provides the generic
+single-evaluation sharded compute (``make_sharded_compute``, used by the
+Platform layer for one-shot sharded energy/force evaluations) and a
+test-only per-step harness (``make_multichip_md_step``).
 """
 
 from functools import partial
@@ -174,8 +181,12 @@ def _direct_side_terms(plan, positions, box, gvals, data, charge, sig_half,
 
 def make_multichip_md_step(plan: Plan, masses, dt, mesh: Mesh,
                            axis: str = "atoms", dtype=jnp.float32):
-    """Jitted multi-chip MD step: sharded direct space + replicated recip,
-    leapfrog Verlet update."""
+    """TEST/PARITY HARNESS ONLY — one jitted dispatch per step with
+    replicated prep, kept because its simple structure makes sharded-vs-host
+    comparisons easy to localize.  The PRODUCTION multi-chip MD path is
+    ``parallel.fused_shard.make_sharded_md_step`` (spatial slab
+    decomposition, K-step blocks per dispatch, constraints); use that for
+    any real run."""
     compute = make_sharded_compute(plan, mesh, axis)
     inv_m = jnp.asarray(
         np.where(np.asarray(masses) > 0,

@@ -58,18 +58,18 @@ def _contiguous_triangles(pairs, n_particles):
 
 
 def cluster_constraints(constraints, n_particles):
-    """Group (i, j, distance) constraints into independent clusters of at
-    most three coupled constraints — the closed-form 3x3 block the M-SHAKE
-    solver inverts.  Clusters with fewer than three constraints are padded
-    with inert rows (pair (0, 0), distance 0, mask 0).
+    """Group (i, j, distance) constraints into independent clusters of
+    coupled constraints.  Clusters of at most three constraints (the common
+    rigid-water case) use the closed-form 3x3 M-SHAKE block; larger clusters
+    (rigid CH3/CH4, constraint chains — the topologies the reference covers
+    via OpenMM core's SHAKE/CCMA) pad every cluster to the largest size C
+    and the solver switches to a batched (C x C) Newton solve.  Clusters
+    smaller than C are padded with inert rows (pair (0, 0), distance 0,
+    mask 0).
 
-    Returns (pairs (M, 3, 2) int32, dists (M, 3) f64, mask (M, 3) f64), or
-    None when ``constraints`` is empty.  Raises OpenMMException when any
-    connected set of constraints has more than three members (e.g. a rigid
-    4-site cluster) — not representable by the 3x3 block solver.
+    Returns (pairs (M, C, 2) int32, dists (M, C) f64, mask (M, C) f64) with
+    C >= 3, or None when ``constraints`` is empty.
     """
-    from ..models.force import OpenMMException
-
     cons = [(int(i), int(j), float(d)) for i, j, d in constraints]
     if not cons:
         return None
@@ -93,17 +93,13 @@ def cluster_constraints(constraints, n_particles):
     clusters = {}
     for k in range(len(cons)):
         clusters.setdefault(find(k), []).append(k)
+    width = max(3, max(len(members) for members in clusters.values()))
     pairs, dists, mask = [], [], []
     for members in clusters.values():
-        if len(members) > 3:
-            raise OpenMMException(
-                f"A cluster of {len(members)} coupled constraints is not "
-                "supported by the TPU M-SHAKE solver (at most 3 coupled "
-                "constraints, e.g. a rigid 3-site water).")
         p = [[cons[k][0], cons[k][1]] for k in members]
         d = [cons[k][2] for k in members]
         m = [1.0] * len(members)
-        while len(p) < 3:
+        while len(p) < width:
             p.append([0, 0])
             d.append(0.0)
             m.append(0.0)
@@ -128,9 +124,16 @@ def _isoceles_triangles(pairs, dists, masses):
 
 def make_constrainer(pairs, dists, masses, n_particles, iterations=8,
                      dtype=jnp.float32, mask=None):
-    pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
+    pairs = np.asarray(pairs, dtype=np.int32)
+    if pairs.ndim != 3:
+        pairs = pairs.reshape(-1, 3, 2)
     if mask is not None and np.all(np.asarray(mask) == 1.0):
         mask = None
+    if pairs.shape[1] != 3:
+        # clusters wider than 3 coupled constraints (rigid CH3/CH4, chains):
+        # generic batched-Newton M-SHAKE with a (C x C) linear solve
+        return _make_gather_constrainer(pairs, dists, masses, iterations,
+                                        dtype, mask=mask)
     if mask is None and _contiguous_triangles(pairs, n_particles):
         if _isoceles_triangles(pairs, dists, masses):
             return _make_dense_settle_constrainer(pairs, dists, masses,
@@ -350,31 +353,43 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
                              mask=None):
     """Build position/velocity constraint projectors.
 
-    pairs: (M, 3, 2) int — per-cluster constraint atom pairs (clusters of
-    up to 3 coupled constraints, e.g. rigid 3-site water: O-H1, O-H2, H1-H2).
-    dists: (M, 3) target distances.  mask: optional (M, 3) with 0.0 marking
-    padded (inert) constraint rows in clusters of fewer than 3 constraints.
-    Returns (project_positions, project_velocities):
+    pairs: (M, C, 2) int — per-cluster constraint atom pairs (clusters of
+    up to C coupled constraints; C == 3 covers rigid 3-site water: O-H1,
+    O-H2, H1-H2, and uses a closed-form 3x3 solve; larger C uses a batched
+    LU solve).  dists: (M, C) target distances.  mask: optional (M, C) with
+    0.0 marking padded (inert) constraint rows in clusters of fewer than C
+    constraints.  Returns (project_positions, project_velocities):
 
     project_positions(pos_ref, pos_new) -> pos_constrained
     project_velocities(pos, vel) -> vel_constrained
     """
-    pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 3, 2)
-    m = pairs.shape[0]
+    pairs = np.asarray(pairs, dtype=np.int32)
+    if pairs.ndim != 3:
+        pairs = pairs.reshape(-1, 3, 2)
+    m, width = pairs.shape[0], pairs.shape[1]
+    if width == 3:
+        solve = _solve3
+    else:
+        # minimum-norm least-squares: wide clusters are often redundant
+        # (rigid CH4 = 10 distance constraints on 9 rigid-body-removed DOF),
+        # making the Newton matrix singular but the system consistent
+        def solve(A, b):
+            return jnp.einsum("...kl,...l->...k", jnp.linalg.pinv(A), b)
     np_dt = np.dtype(jnp.dtype(dtype).name)
-    i_idx = pairs[..., 0]                    # (M, 3)
+    i_idx = pairs[..., 0]                    # (M, C)
     j_idx = pairs[..., 1]
-    d2 = (np.asarray(dists, dtype=np.float64) ** 2).astype(np_dt)
+    d2 = (np.asarray(dists, dtype=np.float64).reshape(m, width) ** 2
+          ).astype(np_dt)
     inv_mass = np.where(np.asarray(masses) > 0,
                         1.0 / np.maximum(np.asarray(masses), 1e-300), 0.0)
-    im_i = inv_mass.astype(np_dt)[i_idx]     # (M, 3)
+    im_i = inv_mass.astype(np_dt)[i_idx]     # (M, C)
     im_j = inv_mass.astype(np_dt)[j_idx]
 
     # coupling sparsity: S[k, l] = +invm on shared atoms with sign from
-    # orientation — precompute per cluster as (M, 3, 3) scalar factors
-    s = np.zeros((m, 3, 3))
-    for k in range(3):
-        for l in range(3):
+    # orientation — precompute per cluster as (M, C, C) scalar factors
+    s = np.zeros((m, width, width))
+    for k in range(width):
+        for l in range(width):
             ik, jk = pairs[:, k, 0], pairs[:, k, 1]
             il, jl = pairs[:, l, 0], pairs[:, l, 1]
             s[:, k, l] = (inv_mass[ik] * (ik == il) - inv_mass[ik] * (ik == jl)
@@ -384,9 +399,9 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
     if mask is not None:
         # padded rows: unit diagonal + zero rhs -> lambda = 0 (inert), and
         # zero coupling so they never perturb the real constraints
-        mask = np.asarray(mask, dtype=np.float64)
+        mask = np.asarray(mask, dtype=np.float64).reshape(m, width)
         mm = (mask[:, :, None] * mask[:, None, :]).astype(np_dt)
-        jfill = (np.eye(3)[None] * (1.0 - mask[:, :, None])).astype(np_dt)
+        jfill = (np.eye(width)[None] * (1.0 - mask[:, :, None])).astype(np_dt)
         row_mask = mask.astype(np_dt)
         # zero the padded pairs' inverse masses so _apply_lambda is a no-op
         # for them even with nonzero lambda round-off
@@ -419,7 +434,7 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
             # J[k, l] = 4 * s[k, l] * (r_now_k . r_ref_l)
             dots = jnp.einsum("mkx,mlx->mkl", r_now, r_ref)
             J = _mask_J(4.0 * s_mat * dots)
-            lam = _solve3(J, _mask_rhs(sigma))
+            lam = solve(J, _mask_rhs(sigma))
             return _apply_lambda(pos, lam, r_ref)
 
         return jax.lax.fori_loop(0, iterations, body, pos_new)
@@ -431,7 +446,7 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
         rhs = _mask_rhs(jnp.sum(r_now * v_rel, axis=-1))          # (M, 3)
         dots = jnp.einsum("mkx,mlx->mkl", r_now, r_now)
         J = _mask_J(s_mat * dots)
-        lam = _solve3(J, rhs)
+        lam = solve(J, rhs)
         dv_i = lam[..., None] * r_now * im_i[..., None]
         dv_j = -lam[..., None] * r_now * im_j[..., None]
         flat_idx = jnp.concatenate([i_idx.reshape(-1), j_idx.reshape(-1)])

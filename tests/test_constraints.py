@@ -128,10 +128,8 @@ def test_gather_path_matches_dense_path():
     np.testing.assert_allclose(out_g[inv], out_dense, atol=1e-12)
 
 
-def test_cluster_constraints_padding_and_rejection():
-    from nonbondedslicing_tpu.models.force import OpenMMException
+def test_cluster_constraints_padding_and_wide_clusters():
     from nonbondedslicing_tpu.runtime.constraints import cluster_constraints
-    import pytest
 
     assert cluster_constraints([], 10) is None
     # one lone pair + one triangle -> two clusters, the first padded
@@ -141,10 +139,67 @@ def test_cluster_constraints_padding_and_rejection():
     assert pairs.shape == (2, 3, 2) and mask.shape == (2, 3)
     by_count = sorted(mask.sum(axis=1))
     assert by_count == [1.0, 3.0]
-    # a 4-constraint coupled cluster is rejected
-    bad = [(0, 1, 0.1), (1, 2, 0.1), (2, 3, 0.1), (3, 0, 0.1)]
-    with pytest.raises(OpenMMException):
-        cluster_constraints(bad, 4)
+    # a 4-constraint coupled cluster widens every cluster to C=4
+    wide = [(0, 1, 0.1), (1, 2, 0.1), (2, 3, 0.1), (3, 0, 0.1),
+            (5, 6, 0.2)]
+    pairs, dists, mask = cluster_constraints(wide, 7)
+    assert pairs.shape == (2, 4, 2) and mask.shape == (2, 4)
+    assert sorted(mask.sum(axis=1)) == [1.0, 4.0]
+
+
+def test_wide_cluster_projection_rigid_methane():
+    """Rigid CH4 (4 C-H + 6 H-H = 10 coupled constraints) — the cluster
+    shape the reference handles via OpenMM core's SHAKE/CCMA
+    (/root/reference relies on OpenMM for constraints).  Exercises the
+    batched (C x C) Newton solve for C > 3."""
+    from nonbondedslicing_tpu.runtime.constraints import cluster_constraints
+
+    d_ch = 0.1087
+    # tetrahedral H positions around C at origin
+    verts = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                     dtype=np.float64)
+    verts *= d_ch / np.sqrt(3.0)
+    d_hh = float(np.linalg.norm(verts[0] - verts[1]))
+    n_mol = 6
+    rng = np.random.default_rng(9)
+    masses = np.tile([12.011] + [1.008] * 4, n_mol)
+    pos0 = np.zeros((5 * n_mol, 3))
+    cons = []
+    for m in range(n_mol):
+        c = 5 * m
+        center = rng.random(3) * 3.0
+        # random rotation via QR keeps the geometry exactly rigid
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        pos0[c] = center
+        pos0[c + 1:c + 5] = center + verts @ q.T
+        for a in range(4):
+            cons.append((c, c + 1 + a, d_ch))
+        for a in range(4):
+            for b in range(a + 1, 4):
+                cons.append((c + 1 + a, c + 1 + b, d_hh))
+    pairs, dists, mask = cluster_constraints(cons, len(masses))
+    assert pairs.shape[1] == 10
+    proj_x, proj_v = make_constrainer(pairs, dists, masses, len(masses),
+                                      iterations=16, dtype=jnp.float64,
+                                      mask=mask)
+    pos1 = pos0 + rng.normal(scale=0.002, size=pos0.shape)
+    pos_c = np.asarray(proj_x(jnp.asarray(pos0), jnp.asarray(pos1)))
+    i = pairs[..., 0].reshape(-1)
+    j = pairs[..., 1].reshape(-1)
+    d = np.linalg.norm(pos_c[i] - pos_c[j], axis=-1)
+    sel = mask.reshape(-1) > 0
+    np.testing.assert_allclose(d[sel], np.asarray(dists).reshape(-1)[sel],
+                               rtol=1e-8)
+    # momentum conserved, projection small
+    np.testing.assert_allclose((masses[:, None] * pos_c).sum(0),
+                               (masses[:, None] * pos1).sum(0), atol=1e-10)
+    assert np.max(np.abs(pos_c - pos1)) < 0.01
+    # RATTLE stage removes all constraint-direction velocity components
+    vel = rng.normal(scale=1.0, size=pos0.shape)
+    vel_c = np.asarray(proj_v(jnp.asarray(pos_c), jnp.asarray(vel)))
+    r = pos_c[i] - pos_c[j]
+    proj = np.abs(np.sum(r * (vel_c[i] - vel_c[j]), axis=-1))
+    assert np.max(proj[sel]) < 1e-10
 
 
 def test_padded_cluster_projection():
