@@ -38,12 +38,12 @@ def main(side=150):
     force.setUseDispersionCorrection(False)
     system = nbs.System()
     system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
-    # bulk-add particles through the force's internal storage (the per-call
-    # Python API at 3.4M particles is needlessly slow for a benchmark script)
-    force._particles = [[0.0, 0.1, 1.0] for _ in range(n)]
-    system._masses = [1.0] * n
+    # bulk public construction API (System.addParticles /
+    # NonbondedForce.addParticles / setParticleSubsets)
+    system.addParticles(np.ones(n))
+    force.addParticles(np.tile([0.0, 0.1, 1.0], (n, 1)))
     subs = np.arange(n) % 2
-    force._subsets = {i: 1 for i in range(n) if subs[i]}
+    force.setParticleSubsets(np.nonzero(subs)[0], 1)
     system.addForce(force)
 
     rng = np.random.default_rng(7)

@@ -219,6 +219,20 @@ class NonbondedForce(Force):
         self._particles.append([float(charge), float(sigma), float(epsilon)])
         return len(self._particles) - 1
 
+    def addParticles(self, parameters):
+        """Bulk addParticle: ``parameters`` is an (N, 3) array-like of
+        [charge, sigma, epsilon] rows.  Returns the index of the first
+        particle added."""
+        import numpy as np
+        arr = np.asarray(parameters, dtype=np.float64)
+        if arr.ndim != 2 or arr.shape[1] != 3:
+            raise OpenMMException(
+                "addParticles expects an (N, 3) array of "
+                "[charge, sigma, epsilon] rows")
+        first = len(self._particles)
+        self._particles.extend(arr.tolist())
+        return first
+
     def getNumParticles(self):
         return len(self._particles)
 
@@ -492,6 +506,21 @@ class SlicedNonbondedForce(NonbondedForce):
         if index < 0 or index >= self.getNumParticles():
             raise OpenMMException("getParticleSubset: index out of range")
         return self._subsets.get(int(index), 0)
+
+    def setParticleSubsets(self, indices, subsets):
+        """Bulk setParticleSubset: ``indices`` is an array-like of particle
+        indices, ``subsets`` a matching array-like (or one scalar broadcast
+        to all)."""
+        import numpy as np
+        idx = np.asarray(indices, dtype=np.int64).reshape(-1)
+        sub = np.broadcast_to(np.asarray(subsets, dtype=np.int64),
+                              idx.shape).reshape(-1)
+        n = self.getNumParticles()
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise OpenMMException("setParticleSubsets: index out of range")
+        if sub.size and (sub.min() < 0 or sub.max() >= self._num_subsets):
+            raise OpenMMException("setParticleSubsets: subset out of range")
+        self._subsets.update(zip(idx.tolist(), sub.tolist()))
 
     # ------------------------------------------------------- scaling params
 

@@ -23,6 +23,17 @@ class System:
         self._masses.append(float(mass))
         return len(self._masses) - 1
 
+    def addParticles(self, masses):
+        """Bulk addParticle: append every mass in ``masses`` (array-like).
+        Returns the index of the first particle added.  Equivalent to (but
+        far faster than) a per-particle addParticle loop — the multi-million
+        particle regime of the reference's testHugeSystem
+        (tests/TestSlicedNonbondedForce.h:557-612)."""
+        arr = np.asarray(masses, dtype=np.float64).reshape(-1)
+        first = len(self._masses)
+        self._masses.extend(arr.tolist())
+        return first
+
     def getNumParticles(self):
         return len(self._masses)
 

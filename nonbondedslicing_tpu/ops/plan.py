@@ -159,9 +159,16 @@ def build_plan(force: SlicedNonbondedForce, system) -> Plan:
     nslices = force.getNumSlices()
     method = force.getNonbondedMethod()
 
-    subsets = np.array([force.getParticleSubset(i) for i in range(n)], dtype=np.int32)
-    base_params = np.array([force.getParticleParameters(i) for i in range(n)],
-                           dtype=np.float64).reshape(n, 3)
+    # vectorized reads of the force's particle storage (a per-particle
+    # getter loop costs ~10 s at the 3.4M-particle testHugeSystem scale)
+    subsets = np.zeros(n, dtype=np.int32)
+    if force._subsets:
+        sub_idx = np.fromiter(force._subsets.keys(), dtype=np.int64,
+                              count=len(force._subsets))
+        subsets[sub_idx] = np.fromiter(force._subsets.values(),
+                                       dtype=np.int64,
+                                       count=len(force._subsets))
+    base_params = np.asarray(force._particles, dtype=np.float64).reshape(n, 3)
 
     global_names = tuple(force.getGlobalParameterName(i)
                          for i in range(force.getNumGlobalParameters()))

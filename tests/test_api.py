@@ -364,3 +364,53 @@ def test_enforce_periodic_box():
     # B: wrapped down one box on y
     np.testing.assert_allclose(wrapped[2], [0.5, 0.6, 0.5], atol=1e-12)
     np.testing.assert_allclose(wrapped[3], [0.6, 0.7, 0.5], atol=1e-12)
+
+
+def test_bulk_construction_api():
+    """Bulk addParticles / setParticleSubsets match the per-call API exactly
+    (the construction path extras/huge_system.py uses at 3.375M particles;
+    reference analog testHugeSystem, TestSlicedNonbondedForce.h:557-612)."""
+    rng = np.random.default_rng(17)
+    n = 200
+    params = np.column_stack([rng.normal(scale=0.3, size=n),
+                              rng.uniform(0.1, 0.3, n),
+                              rng.uniform(0.0, 0.8, n)])
+    masses = rng.uniform(1.0, 16.0, n)
+    subs = rng.integers(0, 3, n)
+
+    sys_a, sys_b = nbs.System(), nbs.System()
+    f_a = nbs.SlicedNonbondedForce(3)
+    f_b = nbs.SlicedNonbondedForce(3)
+    for k in range(n):
+        sys_a.addParticle(masses[k])
+        f_a.addParticle(*params[k])
+        f_a.setParticleSubset(k, int(subs[k]))
+    first_m = sys_b.addParticles(masses)
+    first_p = f_b.addParticles(params)
+    f_b.setParticleSubsets(np.arange(n), subs)
+    assert first_m == 0 and first_p == 0
+    assert sys_b.getNumParticles() == n and f_b.getNumParticles() == n
+    for k in range(0, n, 17):
+        assert sys_b.getParticleMass(k) == sys_a.getParticleMass(k)
+        assert f_b.getParticleParameters(k) == f_a.getParticleParameters(k)
+        assert f_b.getParticleSubset(k) == f_a.getParticleSubset(k)
+    # scalar subset broadcast + validation
+    f_b.setParticleSubsets(np.arange(10), 2)
+    assert all(f_b.getParticleSubset(k) == 2 for k in range(10))
+    with pytest.raises(nbs.OpenMMException):
+        f_b.setParticleSubsets([0, n], 0)
+    with pytest.raises(nbs.OpenMMException):
+        f_b.setParticleSubsets([0], 3)
+    with pytest.raises(nbs.OpenMMException):
+        f_b.addParticles(np.zeros((4, 2)))
+    # identical energies through a Context
+    sys_a.addForce(f_a)
+    sys_b.addForce(f_b)
+    pos = rng.random((n, 3)) * 2.0
+    es = []
+    for system in (sys_a, sys_b):
+        ctx = nbs.Context(system, nbs.VerletIntegrator(0.001),
+                          nbs.Platform.getPlatformByName("Reference"))
+        ctx.setPositions(pos)
+        es.append(ctx.getState(getEnergy=True).getPotentialEnergy())
+    assert es[0] == es[1]
