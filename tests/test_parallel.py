@@ -90,14 +90,15 @@ def test_multichip_md_step_runs():
     assert not np.allclose(np.asarray(pos2), np.asarray(pos3))
 
 
-def _water_system(n_mol=40, box=3.2, seed=9, nsub=3):
+def _water_system(n_mol=40, box=3.2, seed=9, nsub=3,
+                  method=nbs.SlicedNonbondedForce.PME, offsets=False):
     """Rigid 3-site waters on a lattice: triangle exclusions + constraints
     (the production regime of the sharded MD step)."""
     rng = np.random.default_rng(seed)
     system = nbs.System()
     system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
     force = nbs.SlicedNonbondedForce(nsub)
-    force.setNonbondedMethod(nbs.SlicedNonbondedForce.PME)
+    force.setNonbondedMethod(method)
     force.setCutoffDistance(0.9)
     grid = int(np.ceil(n_mol ** (1 / 3)))
     sites = np.stack(np.meshgrid(*[np.arange(grid)] * 3,
@@ -131,6 +132,15 @@ def _water_system(n_mol=40, box=3.2, seed=9, nsub=3):
         system.addConstraint(o + 1, o + 2, d_hh)
     force.addGlobalParameter("lam", 0.8)
     force.addScalingParameter("lam", 0, 1, True, True)
+    if offsets:
+        # parameter offsets riding separate globals: per-particle charge/eps
+        # offsets on a few atoms + one exception offset turning a zeroed
+        # 1-4 back on — exercises the traced offsets->params path
+        force.addGlobalParameter("qscale", 0.6)
+        force.addGlobalParameter("xscale", 0.25)
+        for m in range(0, n_mol, 5):
+            force.addParticleParameterOffset("qscale", 3 * m, 0.05, 0.0, 0.1)
+        force.addExceptionParameterOffset("xscale", 0, 0.02, 0.0, 0.03)
     system.addForce(force)
     return system, force, positions
 
@@ -190,6 +200,67 @@ def test_sharded_md_step_matches_host_loop():
     np.testing.assert_allclose(np.asarray(vel_s), np.asarray(v),
                                rtol=0, atol=1e-8)
     np.testing.assert_allclose(float(e_s), e_ref_total, rtol=1e-9)
+
+
+def test_sharded_md_step_ljpme_offsets_matches_host_loop():
+    """LJPME + particle/exception parameter offsets through the PRODUCTION
+    sharded MD scan vs the explicit f64 host loop — the method x offsets
+    case the PME-only parity test above does not cover."""
+    from nonbondedslicing_tpu.parallel.fused_shard import make_sharded_md_step
+    from nonbondedslicing_tpu.runtime.constraints import (cluster_constraints,
+                                                          make_constrainer)
+
+    system, force, positions = _water_system(
+        method=nbs.SlicedNonbondedForce.LJPME, offsets=True)
+    plan = plan_mod.build_plan(force, system)
+    n = plan.num_particles
+    data = engine_mod.plan_data(plan)
+    box = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()))
+    gvals = jnp.asarray([0.8, 0.6, 0.25])     # lam, qscale, xscale
+    masses = np.array([system.getParticleMass(i) for i in range(n)])
+    cons = cluster_constraints(
+        [system.getConstraintParameters(i)
+         for i in range(system.getNumConstraints())], n)
+    dt = 0.001
+    n_steps = 4
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("x",))
+    run = make_sharded_md_step(plan, masses, dt, mesh, axis="x",
+                               dtype=jnp.float64, constraints=cons,
+                               reuse_steps=2, cell_capacity=32)
+    pos0 = jnp.asarray(positions)
+    vel0 = jnp.asarray(np.random.default_rng(8).normal(
+        scale=0.3, size=(n, 3)))
+    pos_s, vel_s, e_s = run(pos0, vel0, box, gvals, data, n_steps)
+
+    compute = jax.jit(engine_mod.make_compute(plan, True, True,
+                                              neighbor="all_pairs"))
+    proj_x, proj_v = make_constrainer(cons[0], cons[1], masses, n,
+                                      dtype=jnp.float64, mask=cons[2])
+    inv_m = jnp.asarray(np.where(masses > 0, 1.0 / masses, 0.0))[:, None]
+    p, v = pos0, vel0
+    for _ in range(n_steps):
+        _, f = compute(p, box, gvals, data)
+        v = v + dt * f * inv_m
+        pn = proj_x(p, p + dt * v)
+        v = proj_v(pn, (pn - p) / dt)
+        p = pn
+    e_ref, _ = compute(p, box, gvals, data)
+    from nonbondedslicing_tpu.ops.params import slice_lambdas
+    e_ref_total = float(engine_mod.contract_energy(
+        e_ref, slice_lambdas(plan.lam_source, gvals)))
+
+    np.testing.assert_allclose(np.asarray(pos_s), np.asarray(p),
+                               rtol=0, atol=5e-9)
+    # velocities difference positions across one dt: |dv| ~ |dx| / dt
+    np.testing.assert_allclose(np.asarray(vel_s), np.asarray(v),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(float(e_s), e_ref_total, rtol=1e-9)
+    # the offsets must actually matter: rerun with the offset globals zeroed
+    e2 = run(pos0, vel0, box, jnp.asarray([0.8, 0.0, 0.0]), data,
+             n_steps)[2]
+    assert abs(float(e2) - float(e_s)) > 1e-6
 
 
 def test_sharded_md_step_skin_and_overflow_guards():
