@@ -293,12 +293,21 @@ def main():
             rng_v = np.random.default_rng(11)
             vel_np = (rng_v.standard_normal(pos_np.shape)
                       * np.sqrt(kB * 300.0 / masses)[:, None])
+            hmr_settle = True
         # size the capacity from the EQUILIBRATED density, not the lattice
         occ = native.max_cell_occupancy(pos_np, plan.box0, cfg[0])
         state["capacity"] = max(8, int(np.ceil((occ + 8) / 4) * 4))
         t0 = time.time()
         pos_np, vel_np, energy = run_chunk(pos_np, vel_np)
         compile_time = time.time() - t0
+        if HMR:
+            # settle the redrawn velocities: RATTLE removed the
+            # constraint-direction KE on step 1 of the chunk above, so
+            # rescale back to 300 K and run one more unmeasured chunk
+            ke = 0.5 * float(np.sum(masses[:, None] * vel_np * vel_np))
+            t_now = 2.0 * ke / (kB * n_dof)
+            vel_np = vel_np * np.sqrt(300.0 / max(t_now, 1e-6))
+            pos_np, vel_np, energy = run_chunk(pos_np, vel_np)
     else:
         t0 = time.time()
         if os.path.exists(state_file):

@@ -178,3 +178,55 @@ def test_all_spectrum_pipelines_agree(monkeypatch):
                                    rtol=1e-5, atol=1e-4)
         np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
                                    atol=1e-5 * scale)
+
+
+def test_dot_3pass_accuracy_vs_highest(monkeypatch):
+    """The default bf16x3 MXU dot (lo*lo term dropped, ~2^-16 relative) must
+    track the 6-pass HIGHEST scheme within the documented bound on realistic
+    spread/interp data — the accuracy contract behind the NBS_PME_DOT
+    escape hatch (ADVICE r3; docs/devnotes.md 'PME dot precision')."""
+    rng = np.random.default_rng(21)
+    n, nsub = 400, 2
+    box = 3.6
+    bricks = (2, 2, 2)
+    grid_shape = (16, 16, 16)
+    capacity = 96
+    box_arr = jnp.asarray(np.diag([box] * 3), jnp.float32)
+    positions = jnp.asarray(rng.random((n, 3)) * box, jnp.float32)
+    charge = jnp.asarray(rng.normal(size=n), jnp.float32)
+    subsets = jnp.asarray(rng.integers(0, nsub, n), dtype=jnp.int32)
+    alpha = 2.8
+    moduli = pme.bspline_moduli(grid_shape)
+    spairs = jnp.asarray(slice_subsets(nsub))
+    sl_tab = slice_pair_table(nsub).astype(np.int32)
+    lam = jnp.asarray(rng.random(nsub * (nsub + 1) // 2), jnp.float32)
+
+    cell = neighbors.cell_ids(positions, box_arr, bricks)
+    table, ov = neighbors.build_occupancy(cell, n, bricks, capacity)
+    assert int(ov) == 0
+    slots = table.reshape(-1)
+    g = bricks[0] * bricks[1] * bricks[2]
+    pos_p = jnp.concatenate([positions, jnp.zeros((1, 3), jnp.float32)])
+    q_p = jnp.concatenate([charge, jnp.zeros((1,), jnp.float32)])
+    sub_p = jnp.concatenate([subsets, jnp.full((1,), nsub, jnp.int32)])
+    pos_b = pos_p[slots].reshape(g, capacity, 3).swapaxes(1, 2)
+    q_b = q_p[slots].reshape(g, capacity)
+    soh_b = (sub_p[slots][:, None] == jnp.arange(nsub, dtype=jnp.int32)
+             ).astype(jnp.float32).reshape(g, capacity, nsub).swapaxes(1, 2)
+
+    outs = {}
+    for scheme in ("3pass", "highest"):
+        monkeypatch.setattr(pallas_pme, "_DOT_SCHEME", scheme)
+        outs[scheme] = pallas_pme.pme_reciprocal_pallas(
+            pos_b, q_b, soh_b, box_arr, lam, alpha=alpha,
+            grid_shape=grid_shape, moduli=moduli, bricks=bricks,
+            slice_subset_pairs=spairs, slice_table=sl_tab, interpret=True)
+    e3, f3 = outs["3pass"]
+    eh, fh = outs["highest"]
+    # documented bound: dropped lo*lo term is O(2^-16) relative; allow 8x
+    # headroom for accumulation across the order-5 window contractions
+    bound = 8.0 * 2.0 ** -16
+    np.testing.assert_allclose(np.asarray(e3), np.asarray(eh), rtol=bound)
+    scale = float(jnp.max(jnp.abs(fh))) + 1.0
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(fh),
+                               atol=bound * scale)
