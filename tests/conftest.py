@@ -24,6 +24,33 @@ except Exception:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------- smoke set
+# The <5-min CI subset (devtools/run_ci.sh smoke): every fast unit file in
+# full, plus one representative integration test per heavy subsystem.
+_SMOKE_FILES = {
+    "test_api.py", "test_box.py", "test_constraints.py", "test_direct.py",
+    "test_ewald_params.py", "test_native.py", "test_platform_parity.py",
+    "test_pme_paths.py", "test_runtime.py", "test_two_forces.py",
+    "test_update_parameters.py",
+}
+_SMOKE_TESTS = {
+    "test_fused.py::test_fused_matches_all_pairs_oracle[4]",
+    "test_slicing.py::test_nonbonded_slicing[PME-off-exc-coulomb]",
+    "test_parallel.py::test_sharded_md_step_matches_host_loop",
+    "test_pallas_pme.py::test_pallas_pme_matches_brick_oracle",
+    "test_pallas_direct.py::test_pallas_matches_xla_cell_engine[2-False]",
+    "test_md_conservation.py::test_nve_energy_conservation_rigid_water",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = os.path.basename(str(item.fspath))
+        nodeid = f"{base}::{item.nodeid.split('::', 1)[1]}" \
+            if "::" in item.nodeid else base
+        if base in _SMOKE_FILES or nodeid in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
 
 def assert_equal_to(expected, found, tol):
     """Relative-tolerance assert with scale max(|expected|, 1), mirroring the
