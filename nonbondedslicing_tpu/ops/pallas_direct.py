@@ -58,7 +58,8 @@ def _erfc_hastings(x):
 def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
                      use_switch, switch_distance, ewald_alpha, ljpme,
                      dispersion_alpha, exceptions_periodic, fuse_exclusions,
-                     images_preshifted, compute_energies, ncand):
+                     images_preshifted, compute_energies, ncand,
+                     external_once=False):
     """The per-cell pair physics shared by the tile kernels: minimum
     image / preshifted deltas, cutoff + exclusion + half-shell-once masks,
     LJ + Coulomb (RF or Ewald-erfc) with quintic switching, optional fused
@@ -68,10 +69,15 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
     f(box_ref, n, rf (F, C), ri (C,), re (emax, C), cf (F, ncand),
       ci (ncand,), lam_c (nsub, nsub), lam_v (nsub, nsub))
       -> (row_forces (3, C), col_forces (3, ncand), mc, mv (nsub, nsub))
+
+    ``external_once=True``: the caller supplies the visit-once/dedup mask as
+    a trailing ``once`` argument (C, ncand) instead of the built-in
+    slot-index rule (used by the z-band kernel, whose dedup is rank-based).
     """
     cutoff2 = cutoff * cutoff
 
-    def pair_block(box_ref, n, rf, ri, re, cf, ci, lam_c_nn, lam_v_nn):
+    def pair_block(box_ref, n, rf, ri, re, cf, ci, lam_c_nn, lam_v_nn,
+                   once=None):
         dtype = rf.dtype
         dx0 = rf[0].reshape(capacity, 1) - cf[0].reshape(1, ncand)
         dy0 = rf[1].reshape(capacity, 1) - cf[1].reshape(1, ncand)
@@ -101,9 +107,11 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
         ri_col = ri.reshape(capacity, 1)
         ci_row = ci.reshape(1, ncand)
         real = (ri_col < n) & (ci_row < n)
-        # self-block (first C columns): visit each in-cell pair once (i < j)
-        col_k = jax.lax.broadcasted_iota(jnp.int32, (capacity, ncand), 1)
-        once = (col_k >= capacity) | (ri_col < ci_row)
+        if not external_once:
+            # self-block (first C columns): visit each in-cell pair once
+            # (i < j)
+            col_k = jax.lax.broadcasted_iota(jnp.int32, (capacity, ncand), 1)
+            once = (col_k >= capacity) | (ri_col < ci_row)
         excluded = jnp.zeros((capacity, ncand), jnp.bool_)
         for e in range(emax):
             excluded |= ci_row == re[e].reshape(capacity, 1)

@@ -70,7 +70,7 @@ DEFAULT_SKIN = 0.1  # nm — Verlet-list style cell oversizing for MD reuse
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                  bonds=None, cell_capacity=None, reuse_steps=None,
                  interpret=None, bonds_periodic=False, constraints=None,
-                 target_skin=DEFAULT_SKIN):
+                 target_skin=DEFAULT_SKIN, band_window_scale=1.0):
     """Returns run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy).
 
     Leapfrog Verlet: v += dt*F/m; x += dt*v.  ``bonds`` is an optional
@@ -87,12 +87,14 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         interpret = jax.default_backend() != "tpu"
     eng = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
                                       hoist_eterm=True, interpret=interpret,
-                                      target_skin=target_skin, energies=False)
+                                      target_skin=target_skin, energies=False,
+                                      band_window_scale=band_window_scale)
     eng_full = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
                                            hoist_eterm=True,
                                            interpret=interpret,
                                            target_skin=target_skin,
-                                           energies=True)
+                                           energies=True,
+                                           band_window_scale=band_window_scale)
     n = plan.num_particles
     inv_m = np.where(np.asarray(masses) > 0,
                      1.0 / np.maximum(np.asarray(masses), 1e-300),
@@ -185,9 +187,18 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                 "box-static); reinitialize for a different box.")
         pos, vel, energy, ov, dmax = run_scan(
             pos, vel, box, gvals, data, int(n_steps) // K, int(n_steps) % K)
-        if int(ov) > 0:
+        # the fused engine packs both structure guards into one counter:
+        # low 6 digits cell-capacity overflow, above that z-band window
+        # overflow (ops/fused.py prepare)
+        ov_band, ov_cell = divmod(int(ov), 1000000)
+        if ov_band > 0:
             raise OpenMMException(
-                f"Cell-list capacity overflow ({int(ov)} atoms dropped): "
+                f"band window overflow ({ov_band} candidate slots beyond "
+                "the static z-window capacity): rebuild with a larger "
+                "band_window_scale.")
+        if ov_cell > 0:
+            raise OpenMMException(
+                f"Cell-list capacity overflow ({ov_cell} atoms dropped): "
                 "the density fluctuation exceeded the static cell capacity. "
                 "Rebuild with a larger cell_capacity.")
         if float(dmax) > disp_limit2:
@@ -200,7 +211,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     run.config = dict(reuse_steps=K, skin=skin, **{k: v for k, v in cfg.items()
                                                    if k in ("counts",
                                                             "capacity",
-                                                            "pme_grid")})
+                                                            "pme_grid",
+                                                            "band")})
     return run
 
 
