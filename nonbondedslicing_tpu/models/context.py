@@ -35,6 +35,7 @@ class Platform:
     """
 
     _registry = {}
+    _names = ("TPU", "Reference")
 
     def __init__(self, name, properties=None):
         self.name = name
@@ -48,11 +49,60 @@ class Platform:
             return cls(name, {"Precision": "single"})
         raise OpenMMException(f"There is no platform called '{name}'")
 
+    @classmethod
+    def getNumPlatforms(cls):
+        return len(cls._names)
+
+    @classmethod
+    def getPlatform(cls, index):
+        try:
+            return cls.getPlatformByName(cls._names[index])
+        except IndexError:
+            raise OpenMMException(
+                f"There is no platform with index {index}")
+
+    @classmethod
+    def findPlatform(cls, kernelNames=()):
+        """Fastest platform (OpenMM Platform::findPlatform analog); every
+        kernel is implemented by both platforms here."""
+        return cls.getPlatformByName("TPU")
+
     def getName(self):
         return self.name
 
+    def getSpeed(self):
+        """Relative speed estimate (OpenMM Platform::getSpeed semantics:
+        larger = faster; Reference is the 1.0 anchor)."""
+        return 1.0 if self.name == "Reference" else 100.0
+
+    def supportsDoublePrecision(self):
+        # the JAX backends run f64 (natively on CPU, emulated on TPU); the
+        # Reference platform always does
+        return True
+
+    def getPropertyNames(self):
+        return sorted(self.properties)
+
     def getPropertyDefaultValue(self, prop):
         return self.properties.get(prop, "")
+
+    def getPropertyValue(self, context, prop):
+        plat = context.getPlatform()
+        if prop not in plat.properties:
+            raise OpenMMException(
+                f"Platform '{plat.name}' has no property '{prop}'")
+        return plat.properties[prop]
+
+    def setPropertyValue(self, context, prop, value):
+        plat = context.getPlatform()
+        if prop not in plat.properties:
+            raise OpenMMException(
+                f"Platform '{plat.name}' has no property '{prop}'")
+        if prop == "Precision":
+            raise OpenMMException(
+                "Precision is fixed at Context creation; build a new "
+                "Context with Platform properties instead.")
+        plat.properties[prop] = value
 
 
 class State:

@@ -414,3 +414,33 @@ def test_bulk_construction_api():
         ctx.setPositions(pos)
         es.append(ctx.getState(getEnergy=True).getPotentialEnergy())
     assert es[0] == es[1]
+
+
+def test_platform_enumeration_and_properties():
+    """OpenMM Platform API surface: enumeration, properties, speed
+    (Platform.h semantics; the reference relies on OpenMM core for these)."""
+    n = nbs.Platform.getNumPlatforms()
+    assert n == 2
+    names = {nbs.Platform.getPlatform(i).getName() for i in range(n)}
+    assert names == {"TPU", "Reference"}
+    with pytest.raises(nbs.OpenMMException):
+        nbs.Platform.getPlatform(n)
+    fastest = nbs.Platform.findPlatform()
+    assert fastest.getName() == "TPU"
+    ref = nbs.Platform.getPlatformByName("Reference")
+    assert fastest.getSpeed() > ref.getSpeed()
+    assert ref.supportsDoublePrecision()
+    assert ref.getPropertyNames() == ["Precision"]
+    assert ref.getPropertyDefaultValue("Precision") == "double"
+
+    system = nbs.System()
+    system.addParticle(1.0)
+    force = nbs.SlicedNonbondedForce(1)
+    force.addParticle(0.0, 0.3, 0.1)
+    system.addForce(force)
+    ctx = nbs.Context(system, nbs.VerletIntegrator(0.001), ref)
+    assert ref.getPropertyValue(ctx, "Precision") == "double"
+    with pytest.raises(nbs.OpenMMException):
+        ref.getPropertyValue(ctx, "nope")
+    with pytest.raises(nbs.OpenMMException):
+        ref.setPropertyValue(ctx, "Precision", "single")
