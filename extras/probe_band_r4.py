@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Band vs column pair-structure comparison at bench scale (round 4).
+
+Measures end-to-end ms/step of runtime.fastpath.make_md_step with
+NBS_BAND_KERNEL=0 (cell column kernel) and =1 (z-band kernel) by the slope
+method on the equilibrated 23k bench state: two chained run() calls at
+different step counts, difference quotient.  Run on the real TPU:
+
+    python extras/probe_band_r4.py [rows ...]
+
+Optional args sweep NBS_BAND_ROWS (default: just the current setting).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_traceback_in_locations_limit", 0)
+
+
+def measure(run, pos, vel, box_arr, gvals, data, n1=30, n2=120):
+    """Slope ms/step from two chained device-resident run() windows."""
+    # warm both trip counts (rem/outer split differs)
+    p, v, _ = run(jnp.asarray(pos, jnp.float32),
+                  jnp.asarray(vel, jnp.float32), box_arr, gvals, data, n1)
+    p, v, _ = run(p, v, box_arr, gvals, data, n2)
+    ts = {}
+    for n in (n1, n2, n1, n2):
+        q, w = p, v
+        t0 = time.perf_counter()
+        q, w, e = run(q, w, box_arr, gvals, data, n)
+        float(e)
+        ts.setdefault(n, []).append(time.perf_counter() - t0)
+    return (min(ts[n2]) - min(ts[n1])) / (n2 - n1) * 1e3
+
+
+def main():
+    rows_sweep = [int(a) for a in sys.argv[1:]] or [None]
+    import bench
+    from nonbondedslicing_tpu.ops import engine as engine_mod
+    from nonbondedslicing_tpu.ops import plan as plan_mod
+    from nonbondedslicing_tpu.runtime.fastpath import make_md_step
+
+    system, force, positions, box, bonds, constraints = bench.build_system()
+    blob = np.load(os.path.join(os.path.dirname(__file__),
+                                "bench_state_rigid.npz"))
+    positions, velocities = blob["positions"], blob["velocities"]
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    box_arr = jnp.asarray(np.diag([box, box, box]), dtype)
+    gvals = jnp.asarray([1.0, 1.0], dtype)
+    masses = np.tile([15.999, 1.008, 1.008], plan.num_particles // 3)
+
+    results = {}
+    for band in ("0", "1"):
+        for rows in (rows_sweep if band == "1" else [None]):
+            os.environ["NBS_BAND_KERNEL"] = band
+            if rows is not None:
+                os.environ["NBS_BAND_ROWS"] = str(rows)
+            t_build = time.perf_counter()
+            run = make_md_step(plan, masses, dt=0.002, dtype=dtype,
+                               bonds=bonds or None, constraints=constraints)
+            label = f"band={band}" + (f" rows={rows}" if rows else "")
+            print(f"{label}: config={run.config} "
+                  f"(build {time.perf_counter() - t_build:.0f}s)", flush=True)
+            try:
+                ms = measure(run, positions, velocities, box_arr, gvals,
+                             data)
+            except Exception as exc:  # band overflow etc.
+                print(f"{label}: FAILED {exc}", flush=True)
+                continue
+            results[label] = ms
+            ns_day = 0.002 * 86400.0 / ms
+            print(f"{label}: {ms:.3f} ms/step = {ns_day:.1f} ns/day",
+                  flush=True)
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

@@ -282,32 +282,29 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
         def band_body(b, carry):
             mc_acc, mv_acc = carry
             row_lo = wg + R * b
-            pos0 = pos_refs[0][0]
-            stat0 = stat_refs[0][0]
-            ids0 = id_refs[0][0]
-            rp = jax.lax.dynamic_slice(pos0, (0, row_lo), (3, R))
-            rs = jax.lax.dynamic_slice(stat0, (0, row_lo),
-                                       (stat0.shape[0], R))
+            nf_stat = stat_refs[0].shape[1]
+            # Mosaic cannot dynamic_slice loaded VALUES — always slice the
+            # refs themselves with pl.ds (dynamic lane offsets)
+            rp = pos_refs[0][0, :, pl.ds(row_lo, R)]
+            rs = stat_refs[0][0, :, pl.ds(row_lo, R)]
             rf = jnp.concatenate([rp, rs], axis=0)
-            ri = jax.lax.dynamic_slice(ids0, (0, row_lo), (1, R))[0]
+            ri = id_refs[0][0, 0, pl.ds(row_lo, R)]
             # the last band of a column may run past count into the
             # ghost-bottom region (real atom ids!): mask those rows out or
             # their pairs double-count
-            ri = jnp.where(row_lo + riota[:, 0] < wg + cnt_ref[0], ri,
+            ri = jnp.where(row_lo + riota[:, 0] < wg + cnt_ref[0, 0, 0], ri,
                            nreal)
-            re = (jax.lax.dynamic_slice(ids0, (1, row_lo), (emax, R))
+            re = (id_refs[0][0, pl.ds(1, emax), pl.ds(row_lo, R)]
                   if emax else jnp.zeros((0, R), jnp.int32))
             cf_parts, ci_parts, once_parts = [], [], []
             for j in range(5):
                 s = win_ref[0, b, j, 0]
                 v = win_ref[0, b, j, 1]
                 cap = caps[j]
-                pj = jax.lax.dynamic_slice(pos_refs[j][0], (0, s), (3, cap))
+                pj = pos_refs[j][0, :, pl.ds(s, cap)]
                 pj = pj + shifts[j]
-                sj = jax.lax.dynamic_slice(stat_refs[j][0], (0, s),
-                                           (stat0.shape[0], cap))
-                idj = jax.lax.dynamic_slice(id_refs[j][0], (0, s),
-                                            (1, cap))[0]
+                sj = stat_refs[j][0, :, pl.ds(s, cap)]
+                idj = id_refs[j][0, 0, pl.ds(s, cap)]
                 iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
                 idj = jnp.where(iota[0] < v, idj, nreal)
                 cf_parts.append(jnp.concatenate([pj, sj], axis=0))
@@ -337,7 +334,7 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
                 off += cap
             return mc_acc + mcb, mv_acc + mvb
 
-        nb_c = (cnt_ref[0] + (R - 1)) // R
+        nb_c = (cnt_ref[0, 0, 0] + (R - 1)) // R
         zero = jnp.zeros((nsub, nsub), dtype)
         mc, mv = jax.lax.fori_loop(0, nb_c, band_body, (zero, zero))
         mc_ref[0] = mc
@@ -361,7 +358,7 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
              pl.BlockSpec(memory_space=pltpu.SMEM),        # n_real
              pl.BlockSpec((1, nbands, 5, 2), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.SMEM),        # windows
-             pl.BlockSpec((1,), lambda i: (i,),
+             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                           memory_space=pltpu.SMEM)]        # counts
             + [_col_spec((3, lext), j) for j in range(5)]
             + [_col_spec((nf_stat, lext), j) for j in range(5)]
@@ -389,7 +386,7 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(box.astype(dtype), nreal, windows, counts,
+        )(box.astype(dtype), nreal, windows, counts.reshape(-1, 1, 1),
           *([cand_pos] * 5), *([cand_stat] * 5), *([cand_ids] * 5),
           lam_c_nn.astype(dtype), lam_v_nn.astype(dtype))
         slot_f = out[0]
