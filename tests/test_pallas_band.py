@@ -233,3 +233,51 @@ def test_band_md_step_matches_cell_md_step(monkeypatch):
     p1, _, e1 = outs["1"]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=5e-5)
     np.testing.assert_allclose(float(e1), float(e0), rtol=2e-5)
+
+
+def test_band_matches_oracle_triclinic(monkeypatch):
+    """Reduced-form triclinic box: z = frac_z * c_z is exactly the
+    perpendicular coordinate, so the z-window containment argument holds;
+    prove it against the all-pairs oracle (the band analog of
+    test_box_change's triclinic PME checks)."""
+    rng = np.random.default_rng(13)
+    system = nbs.System()
+    box_np = np.array([[4.8, 0.0, 0.0],
+                       [1.2, 4.6, 0.0],
+                       [-0.9, 1.1, 4.5]])
+    system.setDefaultPeriodicBoxVectors(*[tuple(v) for v in box_np])
+    force = nbs.SlicedNonbondedForce(3)
+    force.setNonbondedMethod(nbs.SlicedNonbondedForce.PME)
+    force.setCutoffDistance(0.9)
+    n = 1200
+    for i in range(n):
+        system.addParticle(16.0)
+        force.addParticle(0.25 * (-1) ** i, 0.28, 0.3)
+        force.setParticleSubset(i, i % 3)
+    force.addGlobalParameter("lam01", 0.8)
+    force.addScalingParameter("lam01", 0, 1, True, True)
+    system.addForce(force)
+    positions = rng.random((n, 3)) @ box_np
+
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    pos = jnp.asarray(positions, dtype)
+    box = jnp.asarray(box_np, dtype)
+    gvals = jnp.asarray([0.8], dtype)
+
+    oracle = engine_mod.make_compute(plan, True, True, neighbor="all_pairs")
+    e_o, f_o = oracle(pos, box, gvals, data)
+
+    prepare, apply, cfg = _band_engine(plan, monkeypatch)
+    state = prepare(pos, box, gvals, data)
+    assert int(state["overflow"]) == 0
+    e_f, f_f, aux = apply(pos, box, gvals, data, state)
+
+    scale = float(jnp.max(jnp.abs(e_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_o),
+                               atol=2e-4 * scale)
+    fscale = float(jnp.max(jnp.abs(f_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_o),
+                               atol=2e-4 * fscale)
