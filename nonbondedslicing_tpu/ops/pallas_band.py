@@ -173,6 +173,13 @@ def build_band_structure(positions, box, n, bcfg):
     z_sorted = z[order]
     z_ext = jnp.where(valid, z_sorted[idx] + zsign.reshape(ncol, lext) * lz,
                       jnp.where(is_gt, -1e8, 1e9).astype(dtype))
+    # the f32 sort key col*(2Lz)+z can tie-break near-equal z out of true z
+    # order by ~key-granularity (~3e-5 nm at bench scale); binary search
+    # needs a genuinely sorted array, so clamp z_ext monotone (distortion
+    # <= the key wiggle) and widen the window bounds by a slack that
+    # dominates it (see reach_w below)
+    z_ext = jax.lax.cummax(z_ext, axis=1)
+    reach_w = reach + 1e-3
 
     # per-band z ranges from the REAL rows
     b = jnp.arange(nbands, dtype=jnp.int32)
@@ -189,7 +196,7 @@ def build_band_structure(positions, box, n, bcfg):
     # a band whose window spans >= Lz - would see both images of an atom;
     # window capacities are far below a full column, so this is covered by
     # the capacity check below except in tiny systems — check explicitly
-    span_bad = (z_hi - z_lo + 2.0 * reach) >= lz
+    span_bad = (z_hi - z_lo + 2.0 * reach_w) >= lz
     overflow = overflow + jnp.sum(span_bad & (z_hi >= z_lo))
     for j in range(5):
         zj = z_ext[ncols_map[:, j]]                           # (ncol, lext)
@@ -198,9 +205,9 @@ def build_band_structure(positions, box, n, bcfg):
             s0 = lo_idx * jnp.ones((ncol, 1), jnp.int32)
         else:
             s0 = jax.vmap(jnp.searchsorted)(
-                zj, z_lo - reach).astype(jnp.int32)
+                zj, z_lo - reach_w).astype(jnp.int32)
         e0 = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
-            zj, z_hi + reach).astype(jnp.int32)
+            zj, z_hi + reach_w).astype(jnp.int32)
         v0 = jnp.maximum(e0 - s0, 0)
         overflow = overflow + jnp.sum(jnp.maximum(v0 - cap, 0))
         win_starts.append(s0)
