@@ -59,28 +59,36 @@ def main():
     gvals = jnp.asarray([1.0, 1.0], dtype)
     masses = np.tile([15.999, 1.008, 1.008], plan.num_particles // 3)
 
+    skins = [float(s) for s in
+             os.environ.get("NBS_PROBE_SKINS", "0.1").split(",")]
     results = {}
     for band in ("0", "1"):
         for rows in (rows_sweep if band == "1" else [None]):
-            os.environ["NBS_BAND_KERNEL"] = band
-            if rows is not None:
-                os.environ["NBS_BAND_ROWS"] = str(rows)
-            t_build = time.perf_counter()
-            run = make_md_step(plan, masses, dt=0.002, dtype=dtype,
-                               bonds=bonds or None, constraints=constraints)
-            label = f"band={band}" + (f" rows={rows}" if rows else "")
-            print(f"{label}: config={run.config} "
-                  f"(build {time.perf_counter() - t_build:.0f}s)", flush=True)
-            try:
-                ms = measure(run, positions, velocities, box_arr, gvals,
-                             data)
-            except Exception as exc:  # band overflow etc.
-                print(f"{label}: FAILED {exc}", flush=True)
-                continue
-            results[label] = ms
-            ns_day = 0.002 * 86400.0 / ms
-            print(f"{label}: {ms:.3f} ms/step = {ns_day:.1f} ns/day",
-                  flush=True)
+            for skin in skins:
+                os.environ["NBS_BAND_KERNEL"] = band
+                if rows is not None:
+                    os.environ["NBS_BAND_ROWS"] = str(rows)
+                t_build = time.perf_counter()
+                run = make_md_step(plan, masses, dt=0.002, dtype=dtype,
+                                   bonds=bonds or None,
+                                   constraints=constraints,
+                                   target_skin=skin)
+                label = (f"band={band}"
+                         + (f" rows={rows}" if rows else "")
+                         + (f" skin={skin}" if skin != 0.1 else ""))
+                print(f"{label}: config={run.config} "
+                      f"(build {time.perf_counter() - t_build:.0f}s)",
+                      flush=True)
+                try:
+                    ms = measure(run, positions, velocities, box_arr, gvals,
+                                 data)
+                except Exception as exc:  # band overflow etc.
+                    print(f"{label}: FAILED {exc}", flush=True)
+                    continue
+                results[label] = ms
+                ns_day = 0.002 * 86400.0 / ms
+                print(f"{label}: {ms:.3f} ms/step = {ns_day:.1f} ns/day",
+                      flush=True)
     print(results)
 
 
