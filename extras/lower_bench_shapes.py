@@ -29,9 +29,11 @@ import jax.numpy as jnp
 jax.config.update("jax_traceback_in_locations_limit", 0)
 
 
-def lower_one(n_mol, band):
+def lower_one(n_mol, band, rows=None):
     os.environ["NBS_MOLECULES"] = str(n_mol)
     os.environ["NBS_BAND_KERNEL"] = band
+    if rows is not None:
+        os.environ["NBS_BAND_ROWS"] = str(rows)
     # bench reads its config at import time; reload for each molecule count
     import importlib
     import bench
@@ -46,12 +48,23 @@ def lower_one(n_mol, band):
     data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
             for k, v in engine_mod.plan_data(plan).items()}
     masses = np.tile([15.999, 1.008, 1.008], plan.num_particles // 3)
+    # cell capacity exactly as bench.py main() derives it (native occupancy
+    # scan + margin) so the lowered block shapes match the hardware run
+    from nonbondedslicing_tpu.ops.neighbors import choose_cell_grid
+    from nonbondedslicing_tpu.runtime import native
+    from nonbondedslicing_tpu.runtime.fastpath import DEFAULT_SKIN
+    cell_capacity = None
+    cfg0 = choose_cell_grid(plan.box0, plan.cutoff, plan.num_particles,
+                            target_skin=DEFAULT_SKIN)
+    if cfg0 is not None:
+        occ = native.max_cell_occupancy(positions, plan.box0, cfg0[0])
+        cell_capacity = max(8, int(np.ceil((occ + 6) / 4) * 4))
     # interpret=False: on this CPU host the engine would default to
     # interpret-mode Pallas, which skips Mosaic entirely and makes the
     # lowering gate vacuous (0 tpu_custom_call sites)
     run = make_md_step(plan, masses, dt=0.002, dtype=dtype,
                        bonds=bonds or None, constraints=constraints,
-                       interpret=False)
+                       cell_capacity=cell_capacity, interpret=False)
     # reach the inner jitted scan (run_scan) through the closure and lower
     # it for tpu with the same static args bench uses
     import nonbondedslicing_tpu.runtime.fastpath as fp
@@ -72,15 +85,16 @@ def lower_one(n_mol, band):
         lowering_platforms=("tpu",))
     text = lowered.as_text()
     n_calls = text.count("tpu_custom_call")
-    print(f"n_mol={n_mol} band={band}: lowered ok in "
+    print(f"n_mol={n_mol} band={band} rows={rows}: lowered ok in "
           f"{time.perf_counter() - t0:.0f}s, {n_calls} tpu_custom_call "
           f"sites, config={run.config}", flush=True)
 
 
 def main():
     for n_mol in (7763, 33333):
-        for band in ("0", "1"):
-            lower_one(n_mol, band)
+        lower_one(n_mol, "0")
+        for rows in (16, 24, 32):
+            lower_one(n_mol, "1", rows=rows)
 
 
 if __name__ == "__main__":
