@@ -159,8 +159,29 @@ def _probe_backend_with_deadline(total_s, attempt_s):
         time.sleep(min(60.0, max(1.0, remaining - attempt_s)))
 
 
+def _arm_watchdog(deadline_s):
+    """Hard wall-clock bound on the whole bench process.  The backend probe
+    only covers *init* hangs; a tunnel that dies mid-compile or mid-run also
+    hangs indefinitely (jax blocks in C++, so no Python timeout can fire).
+    A daemon timer prints a diagnostic and os._exit(3)s — a fast, clear
+    failure the driver can record instead of its own rc=124 timeout."""
+    import faulthandler
+    import threading
+
+    def _expire():
+        faulthandler.dump_traceback(file=sys.stderr)
+        print(f"# bench watchdog: no result within {deadline_s:.0f}s "
+              "(tunnel died mid-run?); aborting", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(deadline_s, _expire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     os.environ.setdefault("NBS_TPU_DISABLE_X64", "0")
+    _arm_watchdog(float(os.environ.get("NBS_BENCH_DEADLINE_S", "2400")))
 
     # The tunneled TPU backend occasionally drops for a while (observed
     # multi-hour outages), and a dead tunnel HANGS jax.devices() for ~27 min
