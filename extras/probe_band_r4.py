@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_traceback_in_locations_limit", 0)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_nbs"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def measure(run, pos, vel, box_arr, gvals, data, n1=30, n2=120):
@@ -32,7 +35,10 @@ def measure(run, pos, vel, box_arr, gvals, data, n1=30, n2=120):
     p, v, _ = run(p, v, box_arr, gvals, data, n2)
     ts = {}
     for n in (n1, n2, n1, n2):
-        q, w = p, v
+        # run() donates its pos/vel buffers — time from fresh copies so the
+        # base state survives every timed call
+        q, w = jnp.copy(p), jnp.copy(v)
+        jax.block_until_ready((q, w))
         t0 = time.perf_counter()
         q, w, e = run(q, w, box_arr, gvals, data, n)
         float(e)
@@ -59,6 +65,16 @@ def main():
     gvals = jnp.asarray([1.0, 1.0], dtype)
     masses = np.tile([15.999, 1.008, 1.008], plan.num_particles // 3)
 
+    # bench-matched cell capacity (occupancy scan of the equilibrated state,
+    # same sizing as bench.py) — the make_md_step default is ~1.6x larger
+    # and would pad the cell kernel's candidate tensors unfairly
+    from nonbondedslicing_tpu.ops.neighbors import choose_cell_grid
+    from nonbondedslicing_tpu.runtime import native
+    cfg0 = choose_cell_grid(plan.box0, plan.cutoff, plan.num_particles,
+                            target_skin=0.1)
+    occ = native.max_cell_occupancy(positions, plan.box0, cfg0[0])
+    cell_capacity = max(8, int(np.ceil((occ + 8) / 4) * 4))
+
     skins = [float(s) for s in
              os.environ.get("NBS_PROBE_SKINS", "0.1").split(",")]
     results = {}
@@ -72,6 +88,7 @@ def main():
                 run = make_md_step(plan, masses, dt=0.002, dtype=dtype,
                                    bonds=bonds or None,
                                    constraints=constraints,
+                                   cell_capacity=cell_capacity,
                                    target_skin=skin)
                 label = (f"band={band}"
                          + (f" rows={rows}" if rows else "")
