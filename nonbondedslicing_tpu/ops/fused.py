@@ -289,8 +289,17 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         feat_p = jnp.concatenate([feat, jnp.zeros((1, nf), dtype)], axis=0)
         sfeat = jnp.swapaxes(feat_p[slots].reshape(n_cells, capacity, nf),
                              1, 2)                             # (g, Fs, C)
-        state = dict(slots=slots, table=table, sfeat=sfeat,
-                     pos0=positions, pos0w=pos0w,
+        # inverse slot map: atom -> its (unique) slot, so the per-step
+        # slot->atom force unsort is a GATHER instead of a scatter-add
+        # (measured ~0.34 ms/step as a scatter at the 23k bench; XLA lowers
+        # unique-index gathers much faster).  Pad slots carry exact zeros
+        # (masked pairs contribute zero force), and an atom dropped by a
+        # cell overflow reads garbage — irrelevant, the overflow guard
+        # raises before any caller can use those forces.
+        inv_slots = jnp.zeros((n + 1,), jnp.int32).at[slots].set(
+            jnp.arange(slots.shape[0], dtype=jnp.int32))[:n]
+        state = dict(slots=slots, inv_slots=inv_slots, table=table,
+                     sfeat=sfeat, pos0=positions, pos0w=pos0w,
                      overflow=overflow.astype(jnp.int32))
         excl_p = jnp.concatenate(
             [data["exclusion_list"],
@@ -506,12 +515,12 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             slice_energies = slice_energies.at[:, COUL].add(
                 e_k.astype(jnp.float64))
 
-        # single slot->atom unsort (slot indices unique per real atom)
+        # single slot->atom unsort: gather by the inverse permutation
+        # (each real atom occupies exactly one slot; pad slots hold zeros)
         if use_band and not is_pme:
             forces = f_band          # nothing in the cell-slot array
         else:
-            forces = jnp.zeros((n + 1, 3), dtype).at[slots].add(
-                slot_f.reshape(-1, 3))[:n]
+            forces = slot_f.reshape(-1, 3)[state["inv_slots"]]
             if use_band:
                 forces = forces + f_band
         if method == NonbondedForce.Ewald:
