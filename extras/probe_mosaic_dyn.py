@@ -100,6 +100,34 @@ def main():
 
     compile_case("6 aligned load + roll residue", k_combo, out, s, x)
 
+    # 13: EXECUTION semantics of dynamic rotate signs (compiling is not
+    # enough: negative traced amounts misplace whole 128-lane tiles on the
+    # live backend while the equivalent positive rotate is exact)
+    lw = CAP + 2 * 128 - CAP % 128
+    xs = jnp.asarray(np.arange(NF * LEXT, dtype=np.float32).reshape(NF, LEXT))
+    for name, amount in (
+            ("13a roll negative residue", lambda r: -r),
+            ("13b roll positive equivalent",
+             lambda r: jax.lax.rem(lw - r, lw))):
+        def k_sem(s_ref, x_ref, o_ref, amount=amount):
+            s0 = pl.multiple_of((s_ref[0] // 128) * 128, 128)
+            w = x_ref[:, pl.ds(s0, lw)]
+            w = pltpu.roll(w, amount(s_ref[0] - s0), 1)
+            o_ref[...] = w[:, :CAP]
+        try:
+            fn = pl.pallas_call(
+                k_sem,
+                out_shape=jax.ShapeDtypeStruct((NF, CAP), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+            errs = [float(jnp.max(jnp.abs(
+                fn(jnp.asarray([sv], jnp.int32), xs)
+                - xs[:, sv:sv + CAP]))) for sv in (0, 1, 137, 255, 1023)]
+            print(f"{name}: max|err| per start = {errs}", flush=True)
+        except Exception as exc:
+            print(f"{name}: FAIL {str(exc).splitlines()[0][:120]}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -636,29 +636,49 @@ class Context:
             nonlocal reuse
             box = jnp.asarray(self._box, comp.dtype)
             gvals = self._gvals(comp)
+            struct = comp.__dict__.setdefault(
+                "_md_struct", {"band_scale": 1.0, "cell_cap": None})
             while True:
                 # (re)create inside the loop: run_scan donates pos/vel, so a
-                # guard-tripped attempt leaves them deleted
+                # guard-tripped attempt leaves them deleted (structure guards
+                # fire AFTER the scan, so a tripped attempt never advances
+                # self._positions — the retry reproduces the same trajectory)
                 pos = jnp.asarray(self._positions, comp.dtype)
                 vel = jnp.asarray(self._velocities, comp.dtype)
-                run = comp.__dict__.setdefault("_md_runs", {}).get(reuse)
+                key = (reuse, struct["band_scale"], struct["cell_cap"])
+                run = comp.__dict__.setdefault("_md_runs", {}).get(key)
                 if run is None:
                     run = make_md_step(plan, masses, dt, dtype=comp.dtype,
                                        bonds=bonds,
                                        bonds_periodic=bonds_periodic,
                                        constraints=constraints,
-                                       reuse_steps=reuse)
-                    comp._md_runs[reuse] = run
+                                       reuse_steps=reuse,
+                                       cell_capacity=struct["cell_cap"],
+                                       band_window_scale=struct["band_scale"])
+                    comp._md_runs[key] = run
                 try:
                     pos2, vel2, _ = run(pos, vel, box, gvals, comp.data,
                                         steps)
                     break
                 except OpenMMException as exc:
-                    # skin violations auto-degrade to per-step rebuilds;
-                    # anything else (overflow, box) propagates
-                    if "skin violation" not in str(exc) or reuse == 1:
+                    # structure guards auto-degrade: skin violations halve
+                    # the rebuild-reuse window, overflows grow the static
+                    # structure (mirrors _evaluate's cell auto-grow); box
+                    # guards and anything unexpected propagate
+                    comp._md_runs.pop(key, None)
+                    msg = str(exc)
+                    if "skin violation" in msg and reuse > 1:
+                        reuse = max(1, reuse // 2)
+                    elif ("band window overflow" in msg
+                          and struct["band_scale"] < 8.0):
+                        struct["band_scale"] = round(
+                            struct["band_scale"] * 1.25, 6)
+                    elif ("capacity overflow" in msg
+                          and (struct["cell_cap"] or 0) < plan.num_particles):
+                        cap = run.config.get("capacity", 0) or 32
+                        struct["cell_cap"] = min(2 * cap, plan.num_particles)
+                    else:
                         raise
-                    reuse = max(1, reuse // 2)
             self._positions = np.asarray(pos2, dtype=np.float64)
             self._velocities = np.asarray(vel2, dtype=np.float64)
 

@@ -94,12 +94,20 @@ def band_config(box, cutoff, num_particles, target_skin=0.0,
     R = min(R, max(8, r_allowed))
     wrho = reach * rho
     s = window_scale
-    creal = _r8(mean_col + 6.0 * math.sqrt(mean_col) + 8)
+    # window_scale grows creal too: per-column overflow is packed into the
+    # same band-overflow counter the rebuild hook reacts to, so every
+    # capacity it reports must actually grow under the hook
+    creal = _r8(s * (mean_col + 6.0 * math.sqrt(mean_col) + 8))
     wg = _r8(s * (wrho + 4.0 * math.sqrt(wrho) + 8))
     wn = _r8(s * (R + 2.0 * wrho + 4.0 * math.sqrt(2.0 * wrho) + 8))
     ws = _r8(s * (R + wrho + 4.0 * math.sqrt(wrho) + 8))
     nbands = -(-creal // R)
-    lext = int(math.ceil((2 * wg + creal + wn) / 128.0) * 128)
+    # +256 headroom: dynamic window accesses load an aligned frame of
+    # round_up(cap + 128, 128) lanes starting at floor(start/128)*128 (the
+    # live Mosaic backend rejects unaligned dynamic lane offsets,
+    # extras/probe_mosaic_dyn.py) — every frame must stay in bounds for any
+    # start <= 2*wg + creal (the largest searchsorted result over finite z)
+    lext = int(math.ceil((2 * wg + creal + wn + 256) / 128.0) * 128)
     return dict(ncx=ncx, ncy=ncy, creal=creal, wg=wg, ws=ws, wn=wn,
                 lext=lext, nbands=nbands, rows=R, skin=skin, reach=reach)
 
@@ -244,16 +252,22 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
     lext, wg = bcfg["lext"], bcfg["wg"]
     ws, wn = bcfg["ws"], bcfg["wn"]
     R, nbands = bcfg["rows"], bcfg["nbands"]
-    ncand = ws + 4 * wn
     caps = [ws, wn, wn, wn, wn]
-    pair_block = _make_pair_block(
-        mode=mode, cutoff=cutoff, capacity=R, nsub=nsub, emax=emax,
-        krf=krf, crf=crf, use_switch=use_switch,
-        switch_distance=switch_distance, ewald_alpha=ewald_alpha,
-        ljpme=ljpme, dispersion_alpha=dispersion_alpha,
-        exceptions_periodic=exceptions_periodic, fuse_exclusions=False,
-        images_preshifted=True, compute_energies=compute_energies,
-        ncand=ncand, external_once=True)
+    # one pair-block call per window (self ws-wide, neighbors wn-wide): the
+    # live Mosaic backend rejects the multi-way lane concatenation that a
+    # single dense (R, ws+4*wn) tile would need (unaligned interior offsets,
+    # extras/probe_mosaic_dyn.py); per-window tiles do the same total pair
+    # math with no concat
+    pair_blocks = {
+        cap: _make_pair_block(
+            mode=mode, cutoff=cutoff, capacity=R, nsub=nsub, emax=emax,
+            krf=krf, crf=crf, use_switch=use_switch,
+            switch_distance=switch_distance, ewald_alpha=ewald_alpha,
+            ljpme=ljpme, dispersion_alpha=dispersion_alpha,
+            exceptions_periodic=exceptions_periodic, fuse_exclusions=False,
+            images_preshifted=True, compute_energies=compute_energies,
+            ncand=cap, external_once=True)
+        for cap in {ws, wn}}
 
     def kernel(box_ref, nreal_ref, win_ref, cnt_ref, *refs):
         pos_refs = refs[0:5]
@@ -266,7 +280,11 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
         mv_ref = refs[23]
         dtype = pos_refs[0].dtype
         i = pl.program_id(0)
-        x = i // ncy
+        # traced int //, % lower through a sign() decomposition that Mosaic
+        # retraces under the AMBIENT x64 config at compile time -> int64
+        # converts it cannot legalize; lax.div/lax.rem (C semantics) skip the
+        # sign path and equal floor semantics for non-negative operands
+        x = jax.lax.div(i, ncy)
         y = jax.lax.rem(i, ncy)
         nreal = nreal_ref[0]
         for j in range(5):
@@ -277,8 +295,10 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
         riota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
 
         def shift_mat(dx, dy):
-            wx = ((x + dx) // ncx).astype(dtype)
-            wy = ((y + dy) // ncy).astype(dtype)
+            # x+dx in [0, ncx]; y+dy in [-1, ncy] — bias by ncy so lax.div
+            # matches floor division
+            wx = jax.lax.div(x + dx, ncx).astype(dtype)
+            wy = (jax.lax.div(y + dy + ncy, ncy) - 1).astype(dtype)
             s = [wx * box_ref[0, a] + wy * box_ref[1, a] for a in range(3)]
             return (jnp.where(rows_iota == 0, s[0], 0.0)
                     + jnp.where(rows_iota == 1, s[1], 0.0)
@@ -286,62 +306,79 @@ def make_pallas_band_kernel(*, mode, cutoff, bcfg, nsub, emax, krf=0.0,
 
         shifts = [shift_mat(dx, dy) for dx, dy in HALF_COLS]
 
+        # the live Mosaic backend rejects dynamic lane offsets unless they
+        # are provably 128-aligned (extras/probe_mosaic_dyn.py): every
+        # dynamic window access loads/stores an ALIGNED frame of
+        # round_up(cap+128, 128) lanes at floor(s/128)*128 and rotates the
+        # <=127-lane residue with tpu.dynamic_rotate (semantics verified
+        # on-device for loads and RMW stores)
+        def _lw(cap):
+            return -(-(cap + 128) // 128) * 128
+
+        def dyn_load(ref, rows, s, cap):
+            s0 = pl.multiple_of(jax.lax.div(s, 128) * 128, 128)
+            lw = _lw(cap)
+            w = ref[0, rows, pl.ds(s0, lw)]
+            # NEGATIVE dynamic rotate amounts misplace whole 128-lane tiles
+            # on the live backend at some widths (exact at lw=512 yet off by
+            # 1-2 tiles at lw=384 — extras/probe_mosaic_dyn.py case 13);
+            # express the left-rotate by (s - s0) as the equivalent positive
+            # rotate, which is verified exact on device at both widths
+            w = pltpu.roll(w, jax.lax.rem(lw - (s - s0), lw), 1)
+            return w[:, :cap]
+
+        def dyn_store_add(ref, piece, s, cap):
+            s0 = pl.multiple_of(jax.lax.div(s, 128) * 128, 128)
+            lw = _lw(cap)
+            frame = jnp.pad(piece, ((0, 0), (0, lw - cap)))
+            frame = pltpu.roll(frame, s - s0, 1)
+            sl = (0, slice(None), pl.ds(s0, lw))
+            ref[sl] = ref[sl] + frame
+
         def band_body(b, carry):
             mc_acc, mv_acc = carry
             row_lo = wg + R * b
-            nf_stat = stat_refs[0].shape[1]
-            # Mosaic cannot dynamic_slice loaded VALUES — always slice the
-            # refs themselves with pl.ds (dynamic lane offsets)
-            rp = pos_refs[0][0, :, pl.ds(row_lo, R)]
-            rs = stat_refs[0][0, :, pl.ds(row_lo, R)]
+            rp = dyn_load(pos_refs[0], slice(None), row_lo, R)
+            rs = dyn_load(stat_refs[0], slice(None), row_lo, R)
             rf = jnp.concatenate([rp, rs], axis=0)
-            ri = id_refs[0][0, 0, pl.ds(row_lo, R)]
+            rid = dyn_load(id_refs[0], slice(None), row_lo, R)
+            ri = rid[0]
             # the last band of a column may run past count into the
             # ghost-bottom region (real atom ids!): mask those rows out or
             # their pairs double-count
             ri = jnp.where(row_lo + riota[:, 0] < wg + cnt_ref[0, 0, 0], ri,
                            nreal)
-            re = (id_refs[0][0, pl.ds(1, emax), pl.ds(row_lo, R)]
+            re = (rid[1:1 + emax]
                   if emax else jnp.zeros((0, R), jnp.int32))
-            cf_parts, ci_parts, once_parts = [], [], []
+            row_f = jnp.zeros((3, R), dtype)
             for j in range(5):
                 s = win_ref[0, b, j, 0]
                 v = win_ref[0, b, j, 1]
                 cap = caps[j]
-                pj = pos_refs[j][0, :, pl.ds(s, cap)]
+                pj = dyn_load(pos_refs[j], slice(None), s, cap)
                 pj = pj + shifts[j]
-                sj = stat_refs[j][0, :, pl.ds(s, cap)]
-                idj = id_refs[j][0, 0, pl.ds(s, cap)]
+                sj = dyn_load(stat_refs[j], slice(None), s, cap)
+                idj = dyn_load(id_refs[j], pl.ds(0, 1), s, cap)[0]
                 iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
                 idj = jnp.where(iota[0] < v, idj, nreal)
-                cf_parts.append(jnp.concatenate([pj, sj], axis=0))
-                ci_parts.append(idj)
+                cf = jnp.concatenate([pj, sj], axis=0)
                 if j == 0:
                     # z-sorted storage rank dedup: each same-column pair
                     # once; stays correct for ghost candidates
-                    once_parts.append((s + iota) > (row_lo + riota))
+                    once = (s + iota) > (row_lo + riota)
                 else:
-                    once_parts.append(jnp.ones((R, cap), jnp.bool_))
-            cf = jnp.concatenate(cf_parts, axis=1)
-            ci = jnp.concatenate(ci_parts, axis=0)
-            once = jnp.concatenate(
-                [jnp.broadcast_to(p, (R, p.shape[1])) for p in once_parts],
-                axis=1)
-            row_f, col_f, mcb, mvb = pair_block(
-                box_ref, nreal, rf, ri, re, cf, ci, lamc, lamv, once)
-            rsl = (0, slice(None), pl.ds(row_lo, R))
-            fout_refs[0][rsl] = fout_refs[0][rsl] + row_f
-            off = 0
-            for j in range(5):
-                s = win_ref[0, b, j, 0]
-                cap = caps[j]
-                piece = col_f[:, off:off + cap]
-                csl = (0, slice(None), pl.ds(s, cap))
-                fout_refs[j][csl] = fout_refs[j][csl] + piece
-                off += cap
-            return mc_acc + mcb, mv_acc + mvb
+                    once = jnp.ones((R, cap), jnp.bool_)
+                rfj, col_f, mcb, mvb = pair_blocks[cap](
+                    box_ref, nreal, rf, ri, re, cf, idj, lamc, lamv,
+                    jnp.broadcast_to(once, (R, cap)))
+                row_f = row_f + rfj
+                dyn_store_add(fout_refs[j], col_f, s, cap)
+                mc_acc = mc_acc + mcb
+                mv_acc = mv_acc + mvb
+            dyn_store_add(fout_refs[0], row_f, row_lo, R)
+            return mc_acc, mv_acc
 
-        nb_c = (cnt_ref[0, 0, 0] + (R - 1)) // R
+        nb_c = jax.lax.div(cnt_ref[0, 0, 0] + (R - 1), R)
         zero = jnp.zeros((nsub, nsub), dtype)
         mc, mv = jax.lax.fori_loop(0, nb_c, band_body, (zero, zero))
         mc_ref[0] = mc
