@@ -227,7 +227,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             ljpme=(method == NonbondedForce.LJPME),
             dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
             exceptions_periodic=plan.exceptions_periodic,
-            fuse_exclusions=False, compute_energies=energies)
+            fuse_exclusions=False, compute_energies=energies,
+            assume_pads_far=True)
     else:
         kernel = make_pallas_cell_kernel(
             mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
@@ -239,7 +240,10 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
             exceptions_periodic=plan.exceptions_periodic,
             fuse_exclusions=fuse_exclusions, images_preshifted=preshift,
-            compute_energies=energies)
+            # the min-image (non-preshift) variant would wrap the far pad
+            # offsets back into the box, so only the preshifted layout may
+            # drop its real-slot mask
+            compute_energies=energies, assume_pads_far=preshift)
     # per-offset wrap indicators: cand cell c receives cell (c+d) mod nc,
     # whose true image sits at +floor((c+d)/nc) box vectors
     _wrap = {}
@@ -263,6 +267,10 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             dterm0 = pme.dispersion_eterm_np(
                 cfg["dispersion_grid"], cfg["dpme_moduli"], plan.box0,
                 plan.dispersion_alpha, half=True).astype(np.float32)
+
+    # pad-slot offset base: clears the box (hence every real atom and every
+    # preshift image shift) by a wide margin
+    _pad_base = 64.0 * (1.0 + float(np.sum(np.abs(np.asarray(plan.box0)))))
 
     def prepare(positions, box, gvals, data):
         """Slot table + assignment-static tensors (rebuild every K steps)."""
@@ -298,8 +306,20 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         # raises before any caller can use those forces.
         inv_slots = jnp.zeros((n + 1,), jnp.int32).at[slots].set(
             jnp.arange(slots.shape[0], dtype=jnp.int32))[:n]
+        # unique far-away x offsets for pad slots (assume_pads_far contract:
+        # every pad sits > cutoff from every other slot, letting the pair
+        # kernels drop their (C, ncand)-wide real-slot masks).  Spacing 64 nm
+        # dominates the +-1-box preshift image shifts; exact in f32 up to
+        # ~2^24/64 slots, and degraded ULPs still leave >> cutoff gaps.
+        padfix = jnp.where(
+            slots == n,
+            _pad_base + 64.0 * jnp.arange(slots.shape[0], dtype=jnp.float32),
+            0.0).astype(dtype)
         state = dict(slots=slots, inv_slots=inv_slots, table=table,
                      sfeat=sfeat, pos0=positions, pos0w=pos0w,
+                     padfix3=jnp.concatenate(
+                         [padfix.reshape(n_cells, 1, capacity),
+                          jnp.zeros((n_cells, 2, capacity), dtype)], axis=1),
                      overflow=overflow.astype(jnp.int32))
         excl_p = jnp.concatenate(
             [data["exclusion_list"],
@@ -373,7 +393,7 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             pos_in = positions
         pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)], axis=0)
         pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
-                              1, 2)                            # (g, 3, C)
+                              1, 2) + state["padfix3"]         # (g, 3, C)
         if use_band:
             bst = state["band"]
             ncolb = bcfg["ncx"] * bcfg["ncy"]

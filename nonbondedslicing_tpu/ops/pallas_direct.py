@@ -46,20 +46,26 @@ HALF_OFFSETS = [(0, 0, 0)] + [
 assert len(HALF_OFFSETS) == 14
 
 
-def _erfc_hastings(x):
+def _erfc_gauss_hastings(x):
     """A&S 7.1.26 polynomial erfc approximation (reference GPU kernels use
-    the same scheme in f32)."""
+    the same scheme in f32).  Returns (erfc(x), exp(-x^2)) so callers that
+    also need the Gaussian reuse it instead of re-evaluating exp."""
     t = 1.0 / (1.0 + 0.3275911 * x)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
                + t * (-1.453152027 + t * 1.061405429))))
-    return poly * jnp.exp(-x * x)
+    gauss = jnp.exp(-x * x)
+    return poly * gauss, gauss
+
+
+def _erfc_hastings(x):
+    return _erfc_gauss_hastings(x)[0]
 
 
 def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
                      use_switch, switch_distance, ewald_alpha, ljpme,
                      dispersion_alpha, exceptions_periodic, fuse_exclusions,
                      images_preshifted, compute_energies, ncand,
-                     external_once=False):
+                     external_once=False, assume_pads_far=False):
     """The per-cell pair physics shared by the tile kernels: minimum
     image / preshifted deltas, cutoff + exclusion + half-shell-once masks,
     LJ + Coulomb (RF or Ewald-erfc) with quintic switching, optional fused
@@ -73,6 +79,12 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
     ``external_once=True``: the caller supplies the visit-once/dedup mask as
     a trailing ``once`` argument (C, ncand) instead of the built-in
     slot-index rule (used by the z-band kernel, whose dedup is rank-based).
+
+    ``assume_pads_far=True``: the caller guarantees pad slots carry unique
+    positions farther than the cutoff from everything (ops/fused.py prepare
+    adds a per-slot x offset to pad slots), so the (C, ncand)-wide
+    real-slot mask is dropped and the visit-once compare runs only on the
+    self panel (first C columns) — two fewer full-width VPU passes each.
     """
     cutoff2 = cutoff * cutoff
 
@@ -106,23 +118,43 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
 
         ri_col = ri.reshape(capacity, 1)
         ci_row = ci.reshape(1, ncand)
-        real = (ri_col < n) & (ci_row < n)
         if not external_once:
-            # self-block (first C columns): visit each in-cell pair once
-            # (i < j)
-            col_k = jax.lax.broadcasted_iota(jnp.int32, (capacity, ncand), 1)
-            once = (col_k >= capacity) | (ri_col < ci_row)
+            if assume_pads_far:
+                # self-block (first C columns): visit each in-cell pair once
+                # (i < j); the other panels need no once mask, so compare
+                # against a sentinel there (int concat — the live Mosaic
+                # backend rejects i1-vector concats)
+                ci_once = jnp.concatenate(
+                    [ci_row[:, :capacity],
+                     jnp.full((1, ncand - capacity), np.int32(2 ** 30),
+                              jnp.int32)], axis=1)
+                once = ri_col < ci_once
+            else:
+                col_k = jax.lax.broadcasted_iota(jnp.int32,
+                                                 (capacity, ncand), 1)
+                once = (col_k >= capacity) | (ri_col < ci_row)
         excluded = jnp.zeros((capacity, ncand), jnp.bool_)
         for e in range(emax):
             excluded |= ci_row == re[e].reshape(capacity, 1)
-        mask = real & once & ~excluded & (r2 < cutoff2)
+        if assume_pads_far:
+            # pad slots sit > cutoff from everything: r2 < cutoff2 subsumes
+            # the real-slot test
+            mask = once & ~excluded & (r2 < cutoff2)
+        else:
+            real = (ri_col < n) & (ci_row < n)
+            mask = real & once & ~excluded & (r2 < cutoff2)
 
         one = jnp.ones((), dtype)
         r2s = jnp.where(mask, r2, one)
         rinv = jax.lax.rsqrt(r2s)
         r = r2s * rinv
 
-        qq = rf[3].reshape(capacity, 1) * cf[3].reshape(1, ncand)
+        # fold the Coulomb constant into the charges at vector width
+        # (C + ncand multiplies) so qq needs no (C, ncand)-wide constant
+        # multiply downstream
+        sqrt_ke = jnp.asarray(math.sqrt(ONE_4PI_EPS0), dtype)
+        qq = ((rf[3] * sqrt_ke).reshape(capacity, 1)
+              * (cf[3] * sqrt_ke).reshape(1, ncand))
         sig = rf[4].reshape(capacity, 1) + cf[4].reshape(1, ncand)
         eps = rf[5].reshape(capacity, 1) * cf[5].reshape(1, ncand)
         sig2 = (sig * rinv) ** 2
@@ -142,18 +174,15 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
                  if compute_energies or use_switch else None)
 
         if mode == CUTOFF:
-            e_coul = (ONE_4PI_EPS0 * qq * (rinv + krf * r2s - crf)
+            e_coul = (qq * (rinv + krf * r2s - crf)
                       if compute_energies else None)
-            dedr_coul = ONE_4PI_EPS0 * qq * (rinv - 2.0 * krf * r2s) \
-                * rinv * rinv
+            dedr_coul = qq * (rinv - 2.0 * krf * r2s) * rinv * rinv
         else:
             alpha_r = ewald_alpha * r
-            erfc_ar = _erfc_hastings(alpha_r)
-            gauss = jnp.exp(-alpha_r * alpha_r)
-            e_coul = (ONE_4PI_EPS0 * qq * rinv * erfc_ar
-                      if compute_energies else None)
-            dedr_coul = (ONE_4PI_EPS0 * qq * rinv * rinv * rinv
-                         * (erfc_ar + 2.0 * alpha_r * gauss / SQRT_PI))
+            erfc_ar, gauss = _erfc_gauss_hastings(alpha_r)
+            e_coul = (qq * rinv * erfc_ar if compute_energies else None)
+            dedr_coul = (qq * rinv * rinv * rinv
+                         * (erfc_ar + (2.0 / SQRT_PI) * alpha_r * gauss))
             if ljpme:
                 dar = dispersion_alpha * r
                 dar2 = dar * dar
@@ -209,7 +238,10 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
             # replacing a separate pass with per-pair scatters
             # (ReferenceSlicedLJCoulombIxn.cpp:449-506).  Bonded exclusions
             # always lie within the 27-cell neighborhood.
-            xmask = real & once & excluded
+            # pads are never excluded (their table rows are -1), so the
+            # real-slot test is redundant on this mask too
+            xmask = (once & excluded if assume_pads_far
+                     else real & once & excluded)
             if exceptions_periodic:
                 dxu, dyu, dzu = dx, dy, dz
             else:
@@ -221,12 +253,13 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
             arx = ewald_alpha * rx
             erf_ar = 1.0 - _erfc_hastings(arx)
             big = erf_ar > 1e-6
+            # qq already carries ONE_4PI_EPS0 (folded at vector width above)
             e_cx = jnp.where(
-                big, -ONE_4PI_EPS0 * qq * rinvx * erf_ar,
-                -ewald_alpha * (2.0 / SQRT_PI) * ONE_4PI_EPS0 * qq)
+                big, -qq * rinvx * erf_ar,
+                -ewald_alpha * (2.0 / SQRT_PI) * qq)
             dedr_x = jnp.where(
                 big,
-                ONE_4PI_EPS0 * qq * rinvx ** 3
+                qq * rinvx ** 3
                 * (erf_ar - 2.0 * arx * jnp.exp(-arx * arx) / SQRT_PI),
                 zero)
             factor_x = jnp.where(xmask, -lam_cp * dedr_x, zero)
@@ -292,7 +325,7 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                             dispersion_alpha=0.0, interpret=False,
                             cells_per_tile=None, exceptions_periodic=False,
                             fuse_exclusions=True, images_preshifted=False,
-                            compute_energies=True):
+                            compute_energies=True, assume_pads_far=False):
     """Build the half-shell tile kernel.
 
     f(box, n_real, rows_feat, rows_idx, rows_excl, cand_feat, cand_idx,
@@ -332,7 +365,8 @@ def make_pallas_cell_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         exceptions_periodic=exceptions_periodic,
         fuse_exclusions=fuse_exclusions,
         images_preshifted=images_preshifted,
-        compute_energies=compute_energies, ncand=ncand)
+        compute_energies=compute_energies, ncand=ncand,
+        assume_pads_far=assume_pads_far)
 
     def _one_cell(box_ref, nreal_ref, rf_ref, ri_ref, re_ref, cf_ref, ci_ref,
                   lamc_ref, lamv_ref, fout_ref, cout_ref, g):
@@ -426,7 +460,8 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
                               switch_distance=0.0, ewald_alpha=0.0,
                               ljpme=False, dispersion_alpha=0.0,
                               interpret=False, exceptions_periodic=False,
-                              fuse_exclusions=False, compute_energies=True):
+                              fuse_exclusions=False, compute_energies=True,
+                              assume_pads_far=False):
     """Half-shell pair kernel over z-column tiles with IN-KERNEL candidate
     assembly.
 
@@ -471,7 +506,8 @@ def make_pallas_column_kernel(*, mode, cutoff, counts, capacity, nsub, emax,
         ljpme=ljpme, dispersion_alpha=dispersion_alpha,
         exceptions_periodic=exceptions_periodic,
         fuse_exclusions=fuse_exclusions, images_preshifted=True,
-        compute_energies=compute_energies, ncand=ncand)
+        compute_energies=compute_energies, ncand=ncand,
+        assume_pads_far=assume_pads_far)
 
     def kernel(box_ref, nreal_ref, *refs):
         feat_cols = refs[:9]

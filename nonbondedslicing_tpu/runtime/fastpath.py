@@ -129,10 +129,11 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     _, apply_full, _ = eng_full         # energies for the end-of-run report
     skin = cfg["skin"]
     if reuse_steps is None:
-        # steps until an 8 nm/ps atom (~2x the max-of-20k-hydrogens Maxwell
-        # speed at 300 K, i.e. a safety factor of 2 on the tail) covers half
-        # the skin; the in-trace guard still verifies every run
-        v_ref = 8.0
+        # steps until a 7 nm/ps atom covers half the skin (sustained per-step
+        # max displacement measured at ~0.012 nm over 120-step windows of the
+        # 23k rigid-water bench — K=4 leaves a ~25% margin there, and the
+        # in-trace guard still verifies every run; K=6 tripped it)
+        v_ref = 7.0
         reuse_steps = int(0.5 * skin / (dt * v_ref))
     K = min(25, max(1, int(reuse_steps)))
     disp_limit2 = (0.5 * skin) ** 2 if K > 1 else np.inf
