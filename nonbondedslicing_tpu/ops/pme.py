@@ -227,6 +227,20 @@ def _window_grid_lines(b, p, w, n):
 
 
 def rfft3_matmul_windows(W, bricks, grid_shape):
+    """Brick-window charge tensor -> half spectrum (overlap-add folded into
+    the DFT matmuls).  Dispatches between the einsum-chain formulation (v1)
+    and the flat block-complex formulation (v2, default — measured ~2-3x
+    faster on v5e at the 23k bench; NBS_WIN_DFT=v1 restores the old path).
+
+    W: (bx, by, bz, nsub, wx, wy, wz) -> (re, im): (nsub, nx, ny, nz//2+1).
+    """
+    import os
+    if os.environ.get("NBS_WIN_DFT", "v2") == "v1":
+        return _rfft3_matmul_windows_v1(W, bricks, grid_shape)
+    return _rfft3_matmul_windows_v2(W, bricks, grid_shape)
+
+
+def _rfft3_matmul_windows_v1(W, bricks, grid_shape):
     """``rfft3_matmul(scatter_windows(W))`` with the periodic overlap-add
     FOLDED into the DFT matrices: window point (b, u) lands on grid line
     (b*p - 1 + u) mod n, so gathering the (host numpy) DFT matrices' rows by
@@ -266,6 +280,168 @@ def rfft3_matmul_windows(W, bricks, grid_shape):
     im3 = (jnp.einsum("Xsxkj,Xxi->skji", re2, xs_w, precision=prec)
            + jnp.einsum("Xsxkj,Xxi->skji", im2, xc_w, precision=prec))
     return re3.transpose(0, 3, 2, 1), im3.transpose(0, 3, 2, 1)
+
+
+def _pad8(n):
+    return int(-(-int(n) // 8) * 8)
+
+
+def _win_fwd_blocks(bricks, window, grid_shape, dtname):
+    """Host-numpy block matrices for the v2 forward windows DFT.
+
+    Each transform stage is one flat (M, K) @ (K, 2*N) matmul: the complex
+    output rides a stacked [re | im] column pair and complex inputs a
+    stacked [re; im] row pair, so the 4-real-matmul einsum chain of v1
+    collapses to a single MXU dot per axis with a full-width N dimension
+    (v1's per-part N of 31-60 columns left the systolic array ~90% idle).
+    The window->grid-line overlap-add map is folded in exactly as in v1."""
+    key = (bricks, window, grid_shape, dtname)
+    hit = _WIN_BLOCK_CACHE.get(("f",) + key)
+    if hit is not None:
+        return hit
+    bxc, byc, bzc = bricks
+    wx, wy, wz = window
+    nx, ny, nz = grid_shape
+    d = np.dtype(dtname)
+    # x stage: real input, B = cos - i sin, rows gathered by the window map
+    xc, xs = _dft_mats(nx, d)
+    idx_ = _window_grid_lines(bxc, nx // bxc, wx, nx)
+    NX = _pad8(nx)
+    Ax = np.zeros((bxc * wx, 2, NX), d)
+    Ax[:, 0, :nx] = xc[idx_]
+    Ax[:, 1, :nx] = xs[idx_]
+    # y stage: complex block [[br, bi], [-bi, br]] with (br, bi) = (cos, -sin)
+    yc, ys = _dft_mats(ny, d)
+    idy = _window_grid_lines(byc, ny // byc, wy, ny)
+    NY = _pad8(ny)
+    My = np.zeros((2, byc * wy, 2, NY), d)
+    My[0, :, 0, :ny] = yc[idy]
+    My[0, :, 1, :ny] = ys[idy]
+    My[1, :, 0, :ny] = -ys[idy]
+    My[1, :, 1, :ny] = yc[idy]
+    # z stage: rfft half-spectrum complex block
+    zr, zi = _rdft_mats(nz, d)
+    idz = _window_grid_lines(bzc, nz // bzc, wz, nz)
+    nzh = nz // 2 + 1
+    NZ = _pad8(nzh)
+    Mz = np.zeros((2, bzc * wz, 2, NZ), d)
+    Mz[0, :, 0, :nzh] = zr[idz]
+    Mz[0, :, 1, :nzh] = zi[idz]
+    Mz[1, :, 0, :nzh] = -zi[idz]
+    Mz[1, :, 1, :nzh] = zr[idz]
+    out = (Ax.reshape(bxc * wx, 2 * NX),
+           My.reshape(2 * byc * wy, 2 * NY),
+           Mz.reshape(2 * bzc * wz, 2 * NZ), NX, NY, NZ)
+    _WIN_BLOCK_CACHE[("f",) + key] = out
+    return out
+
+
+_WIN_BLOCK_CACHE = {}
+
+
+def _rfft3_matmul_windows_v2(W, bricks, grid_shape):
+    """v2 of rfft3_matmul_windows: one flat block-complex dot per axis.
+
+    Same math and HIGH (bf16x3) precision as v1; the padded spectrum
+    columns (NX/NY beyond nx/ny) carry exact zeros and are sliced off."""
+    bxc, byc, bzc = bricks
+    nx, ny, nz = grid_shape
+    s = W.shape[3]
+    wx, wy, wz = W.shape[4:7]
+    Ax, My, Mz, NX, NY, NZ = _win_fwd_blocks(
+        bricks, (wx, wy, wz), grid_shape, jnp.dtype(W.dtype).name)
+    prec = jax.lax.Precision.HIGH
+    nzh = nz // 2 + 1
+    # x: contract (X, x) on the real input
+    t = W.transpose(1, 2, 3, 5, 6, 0, 4)          # (Y, Z, s, y, z, X, x)
+    t = t.reshape(byc * bzc * s * wy * wz, bxc * wx)
+    t = jnp.dot(t, Ax, precision=prec)
+    t = t.reshape(byc, bzc, s, wy, wz, 2, NX)
+    # y: contract (c, Y, y)
+    t = t.transpose(1, 2, 4, 6, 5, 0, 3)          # (Z, s, z, NX, c, Y, y)
+    t = t.reshape(bzc * s * wz * NX, 2 * byc * wy)
+    t = jnp.dot(t, My, precision=prec)
+    t = t.reshape(bzc, s, wz, NX, 2, NY)
+    # z: contract (c, Z, z)
+    t = t.transpose(1, 3, 5, 4, 0, 2)             # (s, NX, NY, c, Z, z)
+    t = t.reshape(s * NX * NY, 2 * bzc * wz)
+    t = jnp.dot(t, Mz, precision=prec)
+    t = t.reshape(s, NX, NY, 2, NZ)
+    return t[:, :nx, :ny, 0, :nzh], t[:, :nx, :ny, 1, :nzh]
+
+
+def _win_inv_blocks(bricks, window, grid_shape, dtname):
+    """Host-numpy block matrices for the v2 inverse windows DFT (conjugate
+    synthesis per axis, window gather folded into the output columns)."""
+    key = (bricks, window, grid_shape, dtname)
+    hit = _WIN_BLOCK_CACHE.get(("i",) + key)
+    if hit is not None:
+        return hit
+    bxc, byc, bzc = bricks
+    wx, wy, wz = window
+    nx, ny, nz = grid_shape
+    d = np.dtype(dtname)
+    nzh = nz // 2 + 1
+    # x/y stages: B = cos + i sin (conjugate of the analysis matrix)
+    c, nsin = _dft_mats(nx, d)
+    sx = -nsin
+    idx_ = _window_grid_lines(bxc, nx // bxc, wx, nx)
+    cx, sxg = c[:, idx_], sx[:, idx_]             # (nx, bxc*wx)
+    XW = bxc * wx
+    Mx = np.zeros((2, nx, 2, XW), d)
+    Mx[0, :, 0] = cx
+    Mx[0, :, 1] = sxg
+    Mx[1, :, 0] = -sxg
+    Mx[1, :, 1] = cx
+    c, nsin = _dft_mats(ny, d)
+    sy = -nsin
+    idy = _window_grid_lines(byc, ny // byc, wy, ny)
+    cy, syg = c[:, idy], sy[:, idy]
+    YW = byc * wy
+    My = np.zeros((2, ny, 2, YW), d)
+    My[0, :, 0] = cy
+    My[0, :, 1] = syg
+    My[1, :, 0] = -syg
+    My[1, :, 1] = cy
+    # z stage: real synthesis out = re . (w cos) - im . (w sin)
+    zr, zi = _irdft_mats(nz, d)                   # (nzh, nz)
+    idz = _window_grid_lines(bzc, nz // bzc, wz, nz)
+    ZW = bzc * wz
+    Mz = np.zeros((2, nzh, ZW), d)
+    Mz[0] = zr[:, idz]
+    Mz[1] = -zi[:, idz]
+    out = (Mx.reshape(2 * nx, 2 * XW), My.reshape(2 * ny, 2 * YW),
+           Mz.reshape(2 * nzh, ZW))
+    _WIN_BLOCK_CACHE[("i",) + key] = out
+    return out
+
+
+def _irfft3_matmul_windows_v2(re, im, bricks, grid_shape, window_shape):
+    """v2 of irfft3_matmul_windows: one flat block-complex dot per axis."""
+    bxc, byc, bzc = bricks
+    nx, ny, nz = grid_shape
+    wx, wy, wz = window_shape
+    s = re.shape[0]
+    nzh = nz // 2 + 1
+    Mx, My, Mz = _win_inv_blocks(bricks, (wx, wy, wz), grid_shape,
+                                 jnp.dtype(re.dtype).name)
+    prec = jax.lax.Precision.HIGH
+    XW, YW, ZW = bxc * wx, byc * wy, bzc * wz
+    t = jnp.stack([re, im], axis=1)               # (s, c, nx, ny, nzh)
+    # x: contract (c, kx)
+    t = t.transpose(0, 3, 4, 1, 2).reshape(s * ny * nzh, 2 * nx)
+    t = jnp.dot(t, Mx, precision=prec)
+    t = t.reshape(s, ny, nzh, 2, XW)
+    # y: contract (c, ky)
+    t = t.transpose(0, 2, 4, 3, 1).reshape(s * nzh * XW, 2 * ny)
+    t = jnp.dot(t, My, precision=prec)
+    t = t.reshape(s, nzh, XW, 2, YW)
+    # z: contract (c, kz) -> real window points
+    t = t.transpose(0, 2, 4, 3, 1).reshape(s * XW * YW, 2 * nzh)
+    t = jnp.dot(t, Mz, precision=prec)
+    t = t.reshape(s, bxc, wx, byc, wy, bzc, wz)
+    t = t.transpose(1, 3, 5, 0, 2, 4, 6)
+    return t.reshape(bxc * byc * bzc, s, wx, wy, wz)
 
 
 def rfft3_matmul_blocked(gb, bricks, grid_shape):
@@ -309,6 +485,20 @@ def rfft3_matmul_blocked(gb, bricks, grid_shape):
 
 
 def irfft3_matmul_windows(re, im, bricks, grid_shape, window_shape):
+    """Half spectrum -> brick-window potential tensor (window gather folded
+    into the synthesis matmuls).  Dispatches v1/v2 like
+    rfft3_matmul_windows (NBS_WIN_DFT).
+
+    Returns (g, nsub, wx, wy, wz)."""
+    import os
+    if os.environ.get("NBS_WIN_DFT", "v2") == "v1":
+        return _irfft3_matmul_windows_v1(re, im, bricks, grid_shape,
+                                         window_shape)
+    return _irfft3_matmul_windows_v2(re, im, bricks, grid_shape,
+                                     window_shape)
+
+
+def _irfft3_matmul_windows_v1(re, im, bricks, grid_shape, window_shape):
     """``gather_windows(irfft3_matmul(re, im), bricks)`` with the window
     gather FOLDED into the synthesis matrices — the mirror of
     rfft3_matmul_windows.  Window point (b, u) reads grid line

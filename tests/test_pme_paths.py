@@ -105,3 +105,27 @@ def test_matmul_dft_matches_fft_backend():
         ref_back = np.fft.irfftn(ref, s=shape[1:], axes=(1, 2, 3)) * n
         np.testing.assert_allclose(np.asarray(back), ref_back,
                                    rtol=1e-8, atol=1e-8)
+
+
+def test_windows_dft_v2_matches_v1():
+    """The flat block-complex windows-DFT formulation (v2, the production
+    default) must reproduce the einsum-chain formulation (v1) in both
+    directions — same folded overlap-add math, different matmul packing.
+    f64 here makes the comparison exact to accumulation order."""
+    rng = np.random.default_rng(11)
+    cases = [((3, 2, 2), (12, 10, 8), (8, 9, 8)),   # uneven everything
+             ((2, 2, 2), (8, 8, 8), (8, 8, 8)),
+             ((2, 3, 2), (10, 9, 14), (9, 7, 11))]
+    for bricks, grid, w in cases:
+        W = jnp.asarray(rng.standard_normal(
+            (bricks[0], bricks[1], bricks[2], 2) + w))
+        r1, i1 = pme._rfft3_matmul_windows_v1(W, bricks, grid)
+        r2, i2 = pme._rfft3_matmul_windows_v2(W, bricks, grid)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(i2), np.asarray(i1),
+                                   rtol=1e-8, atol=1e-8)
+        o1 = pme._irfft3_matmul_windows_v1(r1, i1, bricks, grid, w)
+        o2 = pme._irfft3_matmul_windows_v2(r1, i1, bricks, grid, w)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   rtol=1e-8, atol=1e-8)
