@@ -303,13 +303,17 @@ def _win_fwd_blocks(bricks, window, grid_shape, dtname):
     wx, wy, wz = window
     nx, ny, nz = grid_shape
     d = np.dtype(dtname)
-    # x stage: real input, B = cos - i sin, rows gathered by the window map
-    xc, xs = _dft_mats(nx, d)
-    idx_ = _window_grid_lines(bxc, nx // bxc, wx, nx)
-    NX = _pad8(nx)
-    Ax = np.zeros((bxc * wx, 2, NX), d)
-    Ax[:, 0, :nx] = xc[idx_]
-    Ax[:, 1, :nx] = xs[idx_]
+    # z stage FIRST: the rfft halving runs on the real input before the
+    # y/x stages, so every complex intermediate carries NZ=pad8(nz/2+1)
+    # z-lines instead of bzc*wz window points (x-first left a ~100 MB
+    # mid-pipeline tensor at the 23k bench; z-first peaks under 10 MB)
+    zr, zi = _rdft_mats(nz, d)
+    idz = _window_grid_lines(bzc, nz // bzc, wz, nz)
+    nzh = nz // 2 + 1
+    NZ = _pad8(nzh)
+    Az = np.zeros((bzc * wz, 2, NZ), d)
+    Az[:, 0, :nzh] = zr[idz]
+    Az[:, 1, :nzh] = zi[idz]
     # y stage: complex block [[br, bi], [-bi, br]] with (br, bi) = (cos, -sin)
     yc, ys = _dft_mats(ny, d)
     idy = _window_grid_lines(byc, ny // byc, wy, ny)
@@ -319,19 +323,18 @@ def _win_fwd_blocks(bricks, window, grid_shape, dtname):
     My[0, :, 1, :ny] = ys[idy]
     My[1, :, 0, :ny] = -ys[idy]
     My[1, :, 1, :ny] = yc[idy]
-    # z stage: rfft half-spectrum complex block
-    zr, zi = _rdft_mats(nz, d)
-    idz = _window_grid_lines(bzc, nz // bzc, wz, nz)
-    nzh = nz // 2 + 1
-    NZ = _pad8(nzh)
-    Mz = np.zeros((2, bzc * wz, 2, NZ), d)
-    Mz[0, :, 0, :nzh] = zr[idz]
-    Mz[0, :, 1, :nzh] = zi[idz]
-    Mz[1, :, 0, :nzh] = -zi[idz]
-    Mz[1, :, 1, :nzh] = zr[idz]
-    out = (Ax.reshape(bxc * wx, 2 * NX),
+    # x stage: same complex block form
+    xc, xs = _dft_mats(nx, d)
+    idx_ = _window_grid_lines(bxc, nx // bxc, wx, nx)
+    NX = _pad8(nx)
+    Mx = np.zeros((2, bxc * wx, 2, NX), d)
+    Mx[0, :, 0, :nx] = xc[idx_]
+    Mx[0, :, 1, :nx] = xs[idx_]
+    Mx[1, :, 0, :nx] = -xs[idx_]
+    Mx[1, :, 1, :nx] = xc[idx_]
+    out = (Az.reshape(bzc * wz, 2 * NZ),
            My.reshape(2 * byc * wy, 2 * NY),
-           Mz.reshape(2 * bzc * wz, 2 * NZ), NX, NY, NZ)
+           Mx.reshape(2 * bxc * wx, 2 * NX), NX, NY, NZ)
     _WIN_BLOCK_CACHE[("f",) + key] = out
     return out
 
@@ -348,26 +351,27 @@ def _rfft3_matmul_windows_v2(W, bricks, grid_shape):
     nx, ny, nz = grid_shape
     s = W.shape[3]
     wx, wy, wz = W.shape[4:7]
-    Ax, My, Mz, NX, NY, NZ = _win_fwd_blocks(
+    Az, My, Mx, NX, NY, NZ = _win_fwd_blocks(
         bricks, (wx, wy, wz), grid_shape, jnp.dtype(W.dtype).name)
     prec = jax.lax.Precision.HIGH
     nzh = nz // 2 + 1
-    # x: contract (X, x) on the real input
-    t = W.transpose(1, 2, 3, 5, 6, 0, 4)          # (Y, Z, s, y, z, X, x)
-    t = t.reshape(byc * bzc * s * wy * wz, bxc * wx)
-    t = jnp.dot(t, Ax, precision=prec)
-    t = t.reshape(byc, bzc, s, wy, wz, 2, NX)
+    # z: contract (Z, z) on the real input (the rfft halving, first)
+    t = W.transpose(0, 1, 3, 4, 5, 2, 6)          # (X, Y, s, x, y, Z, z)
+    t = t.reshape(bxc * byc * s * wx * wy, bzc * wz)
+    t = jnp.dot(t, Az, precision=prec)
+    t = t.reshape(bxc, byc, s, wx, wy, 2, NZ)
     # y: contract (c, Y, y)
-    t = t.transpose(1, 2, 4, 6, 5, 0, 3)          # (Z, s, z, NX, c, Y, y)
-    t = t.reshape(bzc * s * wz * NX, 2 * byc * wy)
+    t = t.transpose(0, 2, 3, 6, 5, 1, 4)          # (X, s, x, NZ, c, Y, y)
+    t = t.reshape(bxc * s * wx * NZ, 2 * byc * wy)
     t = jnp.dot(t, My, precision=prec)
-    t = t.reshape(bzc, s, wz, NX, 2, NY)
-    # z: contract (c, Z, z)
-    t = t.transpose(1, 3, 5, 4, 0, 2)             # (s, NX, NY, c, Z, z)
-    t = t.reshape(s * NX * NY, 2 * bzc * wz)
-    t = jnp.dot(t, Mz, precision=prec)
-    t = t.reshape(s, NX, NY, 2, NZ)
-    return t[:, :nx, :ny, 0, :nzh], t[:, :nx, :ny, 1, :nzh]
+    t = t.reshape(bxc, s, wx, NZ, 2, NY)
+    # x: contract (c, X, x)
+    t = t.transpose(1, 5, 3, 4, 0, 2)             # (s, NY, NZ, c, X, x)
+    t = t.reshape(s * NY * NZ, 2 * bxc * wx)
+    t = jnp.dot(t, Mx, precision=prec)
+    t = t.reshape(s, NY, NZ, 2, NX)
+    t = t[:, :ny, :nzh].transpose(0, 3, 4, 1, 2)  # (s, c, NX, ny, nzh)
+    return t[:, 0, :nx], t[:, 1, :nx]
 
 
 def _win_inv_blocks(bricks, window, grid_shape, dtname):
