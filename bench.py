@@ -33,7 +33,13 @@ RIGID = os.environ.get("NBS_FLEXIBLE", "0") != "1"
 # from Maxwell-Boltzmann at 300 K for the repartitioned masses.
 HMR = RIGID and os.environ.get("NBS_HMR", "0") == "1"
 DT_PS = 0.004 if HMR else (0.002 if RIGID else 0.001)
-STEPS_MEASURE = 100
+# chunk length (one run() call = one jitted scan + one guard fetch + one
+# full-energy report eval).  Each chunk pays a ~constant ~90 ms tail over
+# the tunneled TPU (guard round trip + report eval), so short chunks tax
+# the per-step number: 100-step chunks cost ~0.9 ms/step of pure
+# bookkeeping.  500 steps (1 ps at 2 fs) is an ordinary production
+# reporting interval.
+STEPS_MEASURE = int(os.environ.get("NBS_STEPS", "500"))
 D_OH, D_HH = 0.09572, 0.15139
 
 
@@ -374,7 +380,7 @@ def main():
     # stay on device between calls; one host fetch at the end — tunnel
     # transfers inside a short timed window add ~10% noise otherwise).
     # If a guard retry forced a recompile inside the timed block, re-measure.
-    n_chain = 5
+    n_chain = max(1, int(np.ceil(1500 / STEPS_MEASURE)))
     while True:
         run_before = state["run"]
         try:

@@ -175,7 +175,14 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         ov = jnp.maximum(ov, state["overflow"])
         lam = slice_lambdas(lam_source, gvals)
         energy = engine_mod.contract_energy(slice_e, lam)
-        return pos, vel, energy, ov, dmax
+        # pack the guard scalars into ONE array: each blocking scalar fetch
+        # over the tunneled TPU costs a full round trip (~40 ms), and run()
+        # must fetch the guards every call.  The packed counter is split
+        # in-trace so each f32 entry stays below 2^24 (exact integers).
+        guards = jnp.stack([(ov // 1000000).astype(jnp.float32),
+                            (ov % 1000000).astype(jnp.float32),
+                            dmax.astype(jnp.float32)])
+        return pos, vel, energy, guards
 
     def run(pos, vel, box, gvals, data, n_steps):
         # hoisted convolution kernels + static cell grid are box0-only
@@ -186,12 +193,14 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                 "make_md_step: the runtime box must equal the plan's default "
                 "box (the cell grid and PME convolution kernels are "
                 "box-static); reinitialize for a different box.")
-        pos, vel, energy, ov, dmax = run_scan(
+        pos, vel, energy, guards = run_scan(
             pos, vel, box, gvals, data, int(n_steps) // K, int(n_steps) % K)
+        guards = np.asarray(guards)
         # the fused engine packs both structure guards into one counter:
         # low 6 digits cell-capacity overflow, above that z-band window
-        # overflow (ops/fused.py prepare)
-        ov_band, ov_cell = divmod(int(ov), 1000000)
+        # overflow (ops/fused.py prepare) — split in-trace above
+        ov_band, ov_cell = int(guards[0]), int(guards[1])
+        dmax = float(guards[2])
         if ov_band > 0:
             raise OpenMMException(
                 f"band window overflow ({ov_band} candidate slots beyond "
