@@ -11,8 +11,10 @@ cd "$(dirname "$0")/.."
 
 mode="${1:-smoke}"
 
-run_smoke() { JAX_PLATFORMS=cpu python -m pytest tests/ -q -m smoke; }
-run_full()  { JAX_PLATFORMS=cpu python -m pytest tests/ -q; }
+# -W error::FutureWarning keeps the class of implicit-dtype-scatter bugs
+# dead (round-5 fix: f64->f32 scatter on the sharded k-space energy path).
+run_smoke() { JAX_PLATFORMS=cpu python -W error::FutureWarning -m pytest tests/ -q -m smoke; }
+run_full()  { JAX_PLATFORMS=cpu python -W error::FutureWarning -m pytest tests/ -q; }
 
 run_package() {
   rm -rf /tmp/nbs_pkg_ci dist build *.egg-info

@@ -337,15 +337,19 @@ def make_sharded_md_step(plan, masses, dt, mesh: Mesh, axis: str = "x",
                 forces = add_range(forces, f_s, start)
                 if energies:
                     # per-slice k-space energies are replicated after the
-                    # grid psum; divide so the later psum counts them once
-                    slice_e = slice_e.at[:, COUL].add(e_k * inv_d)
+                    # grid psum; divide so the later psum counts them once.
+                    # e_k is f64 (spectral-energy promotion); cast explicitly
+                    # -- an implicit f64->f32 scatter is an error in JAX.
+                    slice_e = slice_e.at[:, COUL].add(
+                        (e_k * inv_d).astype(dtype))
                 if dpme_term is not None:
                     c6_p = jnp.pad(8.0 * sig_half ** 3 * eps2, (0, pad))
                     e_d, f_d, start = dpme_term(pos_p, box, c6_p, sub_p,
                                                 lam_v, dev, energies=energies)
                     forces = add_range(forces, f_d, start)
                     if energies:
-                        slice_e = slice_e.at[:, VDW].add(e_d * inv_d)
+                        slice_e = slice_e.at[:, VDW].add(
+                            (e_d * inv_d).astype(dtype))
             else:
                 from ..ops import ewald as ewald_mod
                 start = dev * rows_pme
@@ -359,7 +363,8 @@ def make_sharded_md_step(plan, masses, dt, mesh: Mesh, axis: str = "x",
                     psum_axis=axis)
                 forces = add_range(forces, f_s, start)
                 if energies:
-                    slice_e = slice_e.at[:, COUL].add(e_k * inv_d)
+                    slice_e = slice_e.at[:, COUL].add(
+                        (e_k * inv_d).astype(dtype))
 
             if energies:
                 # self + plasma (replicated math / D): ops/fused.py:322-345,
