@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_NS_DAY = 500.0  # proxy for reference CUDA platform, see BASELINE.md
+# Proxy for the reference CUDA platform: calibrated against published OpenMM
+# DHFR/JAC-class figures (23.5k-atom PME, 2 fs, mixed precision) — GTX 1080
+# ~480, V100 ~660, A100 ~1000-1200 ns/day; 500 = mid-range-GPU assumption.
+# Derivation + rescaling rule: BASELINE.md "Calibration of the 500 ns/day
+# CUDA proxy".
+BASELINE_NS_DAY = 500.0
 # ~23k atoms of 3-site water by default; NBS_MOLECULES overrides for scaling
 # measurements (the equilibrated-state file is size-specific)
 N_MOLECULES = int(os.environ.get("NBS_MOLECULES", "7763"))
