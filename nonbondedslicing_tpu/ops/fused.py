@@ -42,23 +42,42 @@ from .geometry import box_volume, recip_box_vectors
 from .pallas_direct import HALF_OFFSETS, make_pallas_cell_kernel
 
 
-def _brick_counts(counts):
-    """PME brick counts per axis — default ONE BRICK PER CELL.
+def _brick_counts(counts, capacity=None, raw_grid=None):
+    """PME brick counts per axis.
 
-    Measured at the 23k bench (6,6,6 cells, 60^3 grid): 1-cell bricks run
-    the spread/interp kernels at 0.012/0.094 ms vs 0.25/0.72 ms for
-    2x2x2-cell bricks (the big-brick B-plane outer products dominate), and
-    they keep the brick windows within 2 grid blocks per axis so the
-    fold/extract grid pipeline applies (pallas_pme.make_fold_kernel).
-    NBS_BRICK_TARGET overrides the per-axis divisor target."""
+    Default heuristic (round 5): at most ~6 bricks per axis — per-brick
+    Pallas grid-step overhead (~2-3 us) dominates once brick counts reach
+    ~1000 (measured at 100k/90^3: PME 7.87 ms with (10,10,10) bricks vs
+    2.55 ms with (5,5,5)); at the 23k bench (6,6,6) cells this reduces to
+    the previous one-brick-per-cell choice (its 1-cell vs 2x2x2-cell
+    spread/interp measurements: 0.012/0.094 vs 0.25/0.72 ms).  Coarser
+    bricks grow the per-brick interp B-plane (wy*wz x C_brick); when the
+    estimate exceeds ~4 MB of VMEM the heuristic falls back to
+    one-brick-per-cell (e.g. (9,9,9) cells, where 3-per-axis bricks would
+    need a 23 MB plane).  NBS_BRICK_TARGET overrides the per-axis divisor
+    target."""
     import os
     tgt = os.environ.get("NBS_BRICK_TARGET")
-    out = []
+    if tgt is not None:
+        target = int(tgt)
+        return tuple(
+            min([d for d in range(1, nc + 1) if nc % d == 0],
+                key=lambda d: (abs(d - target), -d))
+            for nc in counts)
+    bricks = []
     for nc in counts:
-        target = int(tgt) if tgt is not None else nc
-        divs = [d for d in range(1, nc + 1) if nc % d == 0]
-        out.append(min(divs, key=lambda d: (abs(d - target), -d)))
-    return tuple(out)
+        divs = [d for d in range(1, nc + 1) if nc % d == 0 and d <= 6]
+        bricks.append(max(divs) if divs else nc)
+    if capacity is not None and raw_grid is not None:
+        cells_per_brick = 1
+        for nc, d in zip(counts, bricks):
+            cells_per_brick *= nc // d
+        c_brick = capacity * cells_per_brick
+        wy = raw_grid[1] // bricks[1] + 6
+        wz = raw_grid[2] // bricks[2] + 6
+        if c_brick * wy * wz * 4 > 4 * 1024 * 1024:
+            return tuple(counts)
+    return tuple(bricks)
 
 
 def fused_config(plan, cell_capacity=None, target_skin=0.0):
@@ -77,7 +96,11 @@ def fused_config(plan, cell_capacity=None, target_skin=0.0):
         capacity = int(cell_capacity)
     widths = neighbors._perpendicular_widths(plan.box0) / np.asarray(counts)
     skin = float(np.min(widths)) - plan.cutoff
-    bricks = _brick_counts(counts)
+    bricks = _brick_counts(
+        counts, capacity=capacity,
+        raw_grid=(plan.pme_grid if plan.method in (NonbondedForce.PME,
+                                                   NonbondedForce.LJPME)
+                  else None))
     out = dict(counts=counts, capacity=capacity, skin=skin, bricks=bricks)
     if plan.method in (NonbondedForce.PME, NonbondedForce.LJPME):
         grid = pme_bricks.aligned_grid(plan.pme_grid, bricks)

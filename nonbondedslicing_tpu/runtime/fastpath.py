@@ -64,7 +64,12 @@ def _bond_forces_fn(bonds, n, dtype, periodic=False, box=None):
     return bond_forces
 
 
-DEFAULT_SKIN = 0.1  # nm — Verlet-list style cell oversizing for MD reuse
+# nm — Verlet-list style cell oversizing for MD reuse.  0.09 (not 0.10):
+# at ~10 nm boxes (100k atoms, cutoff 0.9) it admits one more cell per axis
+# — (10,10,10) instead of (9,9,9) — cutting per-row candidate slots by 20%
+# and the measured apply() from 12.3 to 9.9 ms/step; at the 23k bench box
+# (6.16 nm) both values give the same (6,6,6) grid.
+DEFAULT_SKIN = 0.09
 
 
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
