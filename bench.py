@@ -273,8 +273,7 @@ def main():
     # (n_steps is a static argument; a different count would recompile).
     # The lattice start runs hot; if the skin guard trips during warmup,
     # halve the neighbor-reuse interval and retry.
-    state = {"run": None, "reuse": reuse, "capacity": cell_capacity,
-             "wscale": 1.0}
+    state = {"run": None, "reuse": reuse, "capacity": cell_capacity}
 
     def run_chunk(pos_np, vel_np):
         """One STEPS_MEASURE chunk with skin/overflow-guard retries (host
@@ -284,8 +283,7 @@ def main():
                 state["run"] = make_md_step(
                     plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds,
                     cell_capacity=state["capacity"],
-                    reuse_steps=state["reuse"], constraints=constraints,
-                    band_window_scale=state["wscale"])
+                    reuse_steps=state["reuse"], constraints=constraints)
                 state["reuse"] = state["run"].config["reuse_steps"]
             try:
                 p, v, e = state["run"](jnp.asarray(pos_np, dtype),
@@ -294,13 +292,7 @@ def main():
                 return (np.asarray(p, dtype=np.float64),
                         np.asarray(v, dtype=np.float64), e)
             except nbs.OpenMMException as exc:
-                if "band window overflow" in str(exc):
-                    state["wscale"] *= 1.25
-                    state["run"] = None
-                    print(f"# band window overflow; retrying with "
-                          f"window_scale={state['wscale']:.2f}",
-                          file=sys.stderr)
-                elif "capacity overflow" in str(exc):
+                if "capacity overflow" in str(exc):
                     state["capacity"] += 8
                     state["run"] = None
                     print(f"# capacity overflow; retrying with "

@@ -4,7 +4,7 @@
 Runs the complete Mosaic TPU kernel lowering (no device needed) of
 runtime.fastpath.make_md_step — constraints, bonds, fused engine — at the
 exact configurations bench.py will compile on hardware: 7,763 and 33,333
-molecules, band kernel off/on.  Catches shape-dependent Mosaic constraint
+molecules.  Catches shape-dependent Mosaic constraint
 violations (VMEM block limits, lane alignment) before tunnel time is spent.
 
     JAX_PLATFORMS=cpu python extras/lower_bench_shapes.py
@@ -29,11 +29,8 @@ import jax.numpy as jnp
 jax.config.update("jax_traceback_in_locations_limit", 0)
 
 
-def lower_one(n_mol, band, rows=None):
+def lower_one(n_mol):
     os.environ["NBS_MOLECULES"] = str(n_mol)
-    os.environ["NBS_BAND_KERNEL"] = band
-    if rows is not None:
-        os.environ["NBS_BAND_ROWS"] = str(rows)
     # bench reads its config at import time; reload for each molecule count
     import importlib
     import bench
@@ -85,16 +82,14 @@ def lower_one(n_mol, band, rows=None):
         lowering_platforms=("tpu",))
     text = lowered.as_text()
     n_calls = text.count("tpu_custom_call")
-    print(f"n_mol={n_mol} band={band} rows={rows}: lowered ok in "
+    print(f"n_mol={n_mol}: lowered ok in "
           f"{time.perf_counter() - t0:.0f}s, {n_calls} tpu_custom_call "
           f"sites, config={run.config}", flush=True)
 
 
 def main():
     for n_mol in (7763, 33333):
-        lower_one(n_mol, "0")
-        for rows in (16, 24, 32):
-            lower_one(n_mol, "1", rows=rows)
+        lower_one(n_mol)
 
 
 if __name__ == "__main__":

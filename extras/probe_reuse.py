@@ -24,7 +24,23 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_nbs"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-from probe_band_r4 import measure  # noqa: E402
+def measure(run, pos, vel, box_arr, gvals, data, n1=30, n2=120):
+    """Slope ms/step from two chained device-resident run() windows."""
+    # warm both trip counts (rem/outer split differs)
+    p, v, _ = run(jnp.asarray(pos, jnp.float32),
+                  jnp.asarray(vel, jnp.float32), box_arr, gvals, data, n1)
+    p, v, _ = run(p, v, box_arr, gvals, data, n2)
+    ts = {}
+    for n in (n1, n2, n1, n2):
+        # run() donates its pos/vel buffers — time from fresh copies so the
+        # base state survives every timed call
+        q, w = jnp.copy(p), jnp.copy(v)
+        jax.block_until_ready((q, w))
+        t0 = time.perf_counter()
+        q, w, e = run(q, w, box_arr, gvals, data, n)
+        float(e)
+        ts.setdefault(n, []).append(time.perf_counter() - t0)
+    return (min(ts[n2]) - min(ts[n1])) / (n2 - n1) * 1e3
 
 
 def main():

@@ -637,7 +637,7 @@ class Context:
             box = jnp.asarray(self._box, comp.dtype)
             gvals = self._gvals(comp)
             struct = comp.__dict__.setdefault(
-                "_md_struct", {"band_scale": 1.0, "cell_cap": None})
+                "_md_struct", {"cell_cap": None})
             while True:
                 # (re)create inside the loop: run_scan donates pos/vel, so a
                 # guard-tripped attempt leaves them deleted (structure guards
@@ -645,7 +645,7 @@ class Context:
                 # self._positions — the retry reproduces the same trajectory)
                 pos = jnp.asarray(self._positions, comp.dtype)
                 vel = jnp.asarray(self._velocities, comp.dtype)
-                key = (reuse, struct["band_scale"], struct["cell_cap"])
+                key = (reuse, struct["cell_cap"])
                 run = comp.__dict__.setdefault("_md_runs", {}).get(key)
                 if run is None:
                     run = make_md_step(plan, masses, dt, dtype=comp.dtype,
@@ -653,8 +653,7 @@ class Context:
                                        bonds_periodic=bonds_periodic,
                                        constraints=constraints,
                                        reuse_steps=reuse,
-                                       cell_capacity=struct["cell_cap"],
-                                       band_window_scale=struct["band_scale"])
+                                       cell_capacity=struct["cell_cap"])
                     comp._md_runs[key] = run
                 try:
                     pos2, vel2, _ = run(pos, vel, box, gvals, comp.data,
@@ -669,10 +668,6 @@ class Context:
                     msg = str(exc)
                     if "skin violation" in msg and reuse > 1:
                         reuse = max(1, reuse // 2)
-                    elif ("band window overflow" in msg
-                          and struct["band_scale"] < 8.0):
-                        struct["band_scale"] = round(
-                            struct["band_scale"] * 1.25, 6)
                     elif ("capacity overflow" in msg
                           and (struct["cell_cap"] or 0) < plan.num_particles):
                         cap = run.config.get("capacity", 0) or 32

@@ -143,8 +143,7 @@ def _bricks_to_cells(x, counts, bricks):
 
 
 def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
-                      interpret=False, target_skin=0.0, energies=True,
-                      band_window_scale=1.0):
+                      interpret=False, target_skin=0.0, energies=True):
     """Build (prepare, apply, config) for the fused TPU engine.
 
     prepare(positions, box, gvals, data) -> state
@@ -156,10 +155,6 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
     kernel — the returned slice_energies then lack the direct pair terms.
     MD inner steps only consume forces; callers wanting the energy run one
     full-variant evaluation at the end.
-
-    ``band_window_scale`` scales the z-band kernel's static window
-    capacities (NBS_BAND_KERNEL=1 path); grow it after a "band window
-    overflow" failure.
     """
     cfg = fused_config(plan, cell_capacity, target_skin=target_skin)
     if cfg is None:
@@ -208,38 +203,15 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
     # (measured at ~the cost of the pair math itself).  Requires preshifted
     # images, so the fused-exclusion (min-image) variant keeps the cell
     # kernel.  NBS_COLUMN_KERNEL=0 opts out.
-    # z-band kernel: (column, z)-sorted slots with contiguous z-window
-    # candidates — ~1.7x fewer candidate slots/atom than the cell column
-    # kernel at liquid density (ops/pallas_band.py).  Preshift-only: when it
-    # applies it forces the un-fused exclusion-correction pass.
-    use_band = False
-    band_kernel = bcfg = None
-    if os.environ.get("NBS_BAND_KERNEL", "0") == "1":
-        from . import pallas_band
-        bcfg = pallas_band.band_config(plan.box0, plan.cutoff, n,
-                                       target_skin=target_skin,
-                                       window_scale=band_window_scale)
-        if bcfg is not None:
-            use_band = True
-            fuse_exclusions = False
-            preshift = True
-            band_kernel = pallas_band.make_pallas_band_kernel(
-                mode=mode, cutoff=plan.cutoff, bcfg=bcfg, nsub=nsub,
-                emax=emax, krf=krf, crf=crf, use_switch=plan.use_switch,
-                switch_distance=plan.switch_distance,
-                ewald_alpha=plan.ewald_alpha,
-                ljpme=(method == NonbondedForce.LJPME),
-                dispersion_alpha=plan.dispersion_alpha, interpret=interpret,
-                exceptions_periodic=plan.exceptions_periodic,
-                compute_energies=energies)
-            cfg["skin"] = min(cfg["skin"], bcfg["skin"])
-            cfg["band"] = {k: bcfg[k] for k in ("ncx", "ncy", "creal", "ws",
-                                                "wn", "rows")}
-    use_column = (preshift and not use_band
+    # (A third structure — the z-band kernel, contiguous z-window candidates
+    # over (column, z)-sorted slots — was built and measured in round 4 and
+    # RETIRED in round 5: it lost on hardware, 4.58-5.40 vs 3.00 ms/step at
+    # the 23k bench, because Mosaic's dynamic lane-offset slices are slow
+    # and 16-32-row bands under-occupy the VPU.  docs/devnotes.md round-4
+    # notes record the evidence; git history has the code.)
+    use_column = (preshift
                   and os.environ.get("NBS_COLUMN_KERNEL", "1") != "0")
-    if use_band:
-        kernel = None
-    elif use_column:
+    if use_column:
         from .pallas_direct import make_pallas_column_kernel
         kernel = make_pallas_column_kernel(
             mode=mode, cutoff=plan.cutoff, counts=counts, capacity=capacity,
@@ -347,31 +319,8 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         excl_p = jnp.concatenate(
             [data["exclusion_list"],
              jnp.full((1, emax), -1, data["exclusion_list"].dtype)], axis=0)
-        if use_band:
-            from . import pallas_band
-            ncolb = bcfg["ncx"] * bcfg["ncy"]
-            lext = bcfg["lext"]
-            bs = pallas_band.build_band_structure(positions, box, n, bcfg)
-            bslots = bs["slots_ext"]
-            stat_ext = jnp.swapaxes(
-                feat_p[bslots].reshape(ncolb, lext, nf), 1, 2)
-            ids_ext = jnp.swapaxes(jnp.concatenate(
-                [bslots[:, None].astype(jnp.int32),
-                 excl_p[bslots].astype(jnp.int32)],
-                axis=1).reshape(ncolb, lext, 1 + emax), 1, 2)
-            state["band"] = dict(
-                slots=bslots, stat=stat_ext, ids=ids_ext,
-                zshift=bs["zsign"][:, None] * box[2][None, :],
-                windows=bs["windows"], counts=bs["counts"])
-            # one int carries both guards through the MD scan: low 6 digits
-            # cell overflow, above that band-window overflow (decoded by
-            # runtime/fastpath.py)
-            state["overflow"] = (jnp.minimum(state["overflow"], 999999)
-                                 + 1000000 * jnp.minimum(bs["overflow"],
-                                                         1000))
-        else:
-            state["sexcl"] = jnp.swapaxes(
-                excl_p[slots].reshape(n_cells, capacity, emax), 1, 2)
+        state["sexcl"] = jnp.swapaxes(
+            excl_p[slots].reshape(n_cells, capacity, emax), 1, 2)
         if not use_column:
             # the cell kernel consumes materialized candidate tensors; the
             # column kernel assembles candidates in VMEM instead
@@ -417,18 +366,7 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
         pos_p = jnp.concatenate([pos_in, jnp.zeros((1, 3), dtype)], axis=0)
         pos_fm = jnp.swapaxes(pos_p[slots].reshape(n_cells, capacity, 3),
                               1, 2) + state["padfix3"]         # (g, 3, C)
-        if use_band:
-            bst = state["band"]
-            ncolb = bcfg["ncx"] * bcfg["ncy"]
-            lext = bcfg["lext"]
-            pos_ext = pos_p[bst["slots"]] + bst["zshift"]
-            cand_pos = jnp.swapaxes(pos_ext.reshape(ncolb, lext, 3), 1, 2)
-            slot_fb, m_c, m_v = band_kernel(
-                cand_pos, bst["stat"], bst["ids"], bst["windows"],
-                bst["counts"], lam_c_nn, lam_v_nn, box, n)
-            f_band = jnp.zeros((n + 1, 3), dtype).at[bst["slots"]].add(
-                jnp.swapaxes(slot_fb, 1, 2).reshape(-1, 3))[:n]
-        elif use_column:
+        if use_column:
             rows_feat = jnp.concatenate([pos_fm, sfeat], axis=1)
             nf_all = rows_feat.shape[1]
             # slot_fc includes Newton reactions (pre-rolled outputs)
@@ -476,11 +414,7 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
             slice_energies = slice_energies.at[:, COUL].add(ec)
             slice_energies = slice_energies.at[:, VDW].add(ev)
 
-        if use_band:
-            # direct-space forces already live in f_band (band-slot unsort);
-            # the cell-slot array only accumulates PME contributions
-            slot_f = jnp.zeros((n_cells, capacity, 3), dtype)
-        elif use_column:
+        if use_column:
             slot_f = jnp.swapaxes(slot_fc, 1, 2)
         else:
             # roll per-offset column forces back onto their home cells
@@ -560,12 +494,7 @@ def make_fused_engine(plan, *, cell_capacity=None, hoist_eterm=False,
 
         # single slot->atom unsort: gather by the inverse permutation
         # (each real atom occupies exactly one slot; pad slots hold zeros)
-        if use_band and not is_pme:
-            forces = f_band          # nothing in the cell-slot array
-        else:
-            forces = slot_f.reshape(-1, 3)[state["inv_slots"]]
-            if use_band:
-                forces = forces + f_band
+        forces = slot_f.reshape(-1, 3)[state["inv_slots"]]
         if method == NonbondedForce.Ewald:
             forces = forces + f_k
 

@@ -65,7 +65,7 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
                      use_switch, switch_distance, ewald_alpha, ljpme,
                      dispersion_alpha, exceptions_periodic, fuse_exclusions,
                      images_preshifted, compute_energies, ncand,
-                     external_once=False, assume_pads_far=False):
+                     assume_pads_far=False):
     """The per-cell pair physics shared by the tile kernels: minimum
     image / preshifted deltas, cutoff + exclusion + half-shell-once masks,
     LJ + Coulomb (RF or Ewald-erfc) with quintic switching, optional fused
@@ -76,10 +76,6 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
       ci (ncand,), lam_c (nsub, nsub), lam_v (nsub, nsub))
       -> (row_forces (3, C), col_forces (3, ncand), mc, mv (nsub, nsub))
 
-    ``external_once=True``: the caller supplies the visit-once/dedup mask as
-    a trailing ``once`` argument (C, ncand) instead of the built-in
-    slot-index rule (used by the z-band kernel, whose dedup is rank-based).
-
     ``assume_pads_far=True``: the caller guarantees pad slots carry unique
     positions farther than the cutoff from everything (ops/fused.py prepare
     adds a per-slot x offset to pad slots), so the (C, ncand)-wide
@@ -88,8 +84,7 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
     """
     cutoff2 = cutoff * cutoff
 
-    def pair_block(box_ref, n, rf, ri, re, cf, ci, lam_c_nn, lam_v_nn,
-                   once=None):
+    def pair_block(box_ref, n, rf, ri, re, cf, ci, lam_c_nn, lam_v_nn):
         dtype = rf.dtype
         dx0 = rf[0].reshape(capacity, 1) - cf[0].reshape(1, ncand)
         dy0 = rf[1].reshape(capacity, 1) - cf[1].reshape(1, ncand)
@@ -118,21 +113,20 @@ def _make_pair_block(*, mode, cutoff, capacity, nsub, emax, krf, crf,
 
         ri_col = ri.reshape(capacity, 1)
         ci_row = ci.reshape(1, ncand)
-        if not external_once:
-            if assume_pads_far:
-                # self-block (first C columns): visit each in-cell pair once
-                # (i < j); the other panels need no once mask, so compare
-                # against a sentinel there (int concat — the live Mosaic
-                # backend rejects i1-vector concats)
-                ci_once = jnp.concatenate(
-                    [ci_row[:, :capacity],
-                     jnp.full((1, ncand - capacity), np.int32(2 ** 30),
-                              jnp.int32)], axis=1)
-                once = ri_col < ci_once
-            else:
-                col_k = jax.lax.broadcasted_iota(jnp.int32,
-                                                 (capacity, ncand), 1)
-                once = (col_k >= capacity) | (ri_col < ci_row)
+        if assume_pads_far:
+            # self-block (first C columns): visit each in-cell pair once
+            # (i < j); the other panels need no once mask, so compare
+            # against a sentinel there (int concat — the live Mosaic
+            # backend rejects i1-vector concats)
+            ci_once = jnp.concatenate(
+                [ci_row[:, :capacity],
+                 jnp.full((1, ncand - capacity), np.int32(2 ** 30),
+                          jnp.int32)], axis=1)
+            once = ri_col < ci_once
+        else:
+            col_k = jax.lax.broadcasted_iota(jnp.int32,
+                                             (capacity, ncand), 1)
+            once = (col_k >= capacity) | (ri_col < ci_row)
         excluded = jnp.zeros((capacity, ncand), jnp.bool_)
         for e in range(emax):
             excluded |= ci_row == re[e].reshape(capacity, 1)

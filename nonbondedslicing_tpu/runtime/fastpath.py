@@ -75,7 +75,7 @@ DEFAULT_SKIN = 0.09
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                  bonds=None, cell_capacity=None, reuse_steps=None,
                  interpret=None, bonds_periodic=False, constraints=None,
-                 target_skin=DEFAULT_SKIN, band_window_scale=1.0):
+                 target_skin=DEFAULT_SKIN):
     """Returns run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy).
 
     Leapfrog Verlet: v += dt*F/m; x += dt*v.  ``bonds`` is an optional
@@ -92,14 +92,12 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         interpret = jax.default_backend() != "tpu"
     eng = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
                                       hoist_eterm=True, interpret=interpret,
-                                      target_skin=target_skin, energies=False,
-                                      band_window_scale=band_window_scale)
+                                      target_skin=target_skin, energies=False)
     eng_full = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
                                            hoist_eterm=True,
                                            interpret=interpret,
                                            target_skin=target_skin,
-                                           energies=True,
-                                           band_window_scale=band_window_scale)
+                                           energies=True)
     n = plan.num_particles
     inv_m = np.where(np.asarray(masses) > 0,
                      1.0 / np.maximum(np.asarray(masses), 1e-300),
@@ -182,10 +180,9 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         energy = engine_mod.contract_energy(slice_e, lam)
         # pack the guard scalars into ONE array: each blocking scalar fetch
         # over the tunneled TPU costs a full round trip (~40 ms), and run()
-        # must fetch the guards every call.  The packed counter is split
-        # in-trace so each f32 entry stays below 2^24 (exact integers).
-        guards = jnp.stack([(ov // 1000000).astype(jnp.float32),
-                            (ov % 1000000).astype(jnp.float32),
+        # must fetch the guards every call (counts stay below 2^24, exact
+        # in f32).
+        guards = jnp.stack([ov.astype(jnp.float32),
                             dmax.astype(jnp.float32)])
         return pos, vel, energy, guards
 
@@ -201,16 +198,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         pos, vel, energy, guards = run_scan(
             pos, vel, box, gvals, data, int(n_steps) // K, int(n_steps) % K)
         guards = np.asarray(guards)
-        # the fused engine packs both structure guards into one counter:
-        # low 6 digits cell-capacity overflow, above that z-band window
-        # overflow (ops/fused.py prepare) — split in-trace above
-        ov_band, ov_cell = int(guards[0]), int(guards[1])
-        dmax = float(guards[2])
-        if ov_band > 0:
-            raise OpenMMException(
-                f"band window overflow ({ov_band} candidate slots beyond "
-                "the static z-window capacity): rebuild with a larger "
-                "band_window_scale.")
+        ov_cell = int(guards[0])
+        dmax = float(guards[1])
         if ov_cell > 0:
             raise OpenMMException(
                 f"Cell-list capacity overflow ({ov_cell} atoms dropped): "
@@ -226,8 +215,7 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     run.config = dict(reuse_steps=K, skin=skin, **{k: v for k, v in cfg.items()
                                                    if k in ("counts",
                                                             "capacity",
-                                                            "pme_grid",
-                                                            "band")})
+                                                            "pme_grid")})
     return run
 
 

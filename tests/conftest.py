@@ -40,9 +40,7 @@ _SMOKE_TESTS = {
     "test_pallas_pme.py::test_pallas_pme_matches_brick_oracle",
     "test_pallas_direct.py::test_pallas_matches_xla_cell_engine[2-False]",
     "test_md_conservation.py::test_nve_energy_conservation_rigid_water",
-    "test_pallas_band.py::test_band_matches_all_pairs_oracle[4]",
-    "test_tpu_lowering.py::test_fused_md_step_lowers_for_tpu[0]",
-    "test_tpu_lowering.py::test_fused_md_step_lowers_for_tpu[1]",
+    "test_tpu_lowering.py::test_fused_md_step_lowers_for_tpu",
 }
 
 

@@ -21,9 +21,7 @@ from nonbondedslicing_tpu.ops import plan as plan_mod
 from test_fused import _system as _system_fused
 
 
-@pytest.mark.parametrize("band", ["0", "1"])
-def test_fused_md_step_lowers_for_tpu(band, monkeypatch):
-    monkeypatch.setenv("NBS_BAND_KERNEL", band)
+def test_fused_md_step_lowers_for_tpu():
     system, force, positions = _system_fused(
         nbs.SlicedNonbondedForce.PME, n_mol=600, box=4.0)
     plan = plan_mod.build_plan(force, system)
@@ -37,7 +35,6 @@ def test_fused_md_step_lowers_for_tpu(band, monkeypatch):
     out = fused.make_fused_engine(plan, hoist_eterm=True, energies=False,
                                   interpret=False, target_skin=0.1)
     prepare, apply, cfg = out
-    assert ("band" in cfg) == (band == "1")
 
     def step(p):
         st = prepare(p, box, gvals, data)
