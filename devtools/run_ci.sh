@@ -5,6 +5,7 @@
 #   devtools/run_ci.sh smoke     # fast subset (<5 min)
 #   devtools/run_ci.sh full      # full suite (~25 min)
 #   devtools/run_ci.sh package   # wheel build + install + import smoke
+#   devtools/run_ci.sh docs      # regenerate API reference + build HTML site
 #   devtools/run_ci.sh all
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -46,10 +47,17 @@ print("native source present in wheel:", whl)
 EOF
 }
 
+run_docs() {
+  JAX_PLATFORMS=cpu python devtools/gen_api_doc.py
+  git diff --exit-code docs/api_generated.md
+  python devtools/build_docs.py
+}
+
 case "$mode" in
   smoke)   run_smoke ;;
   full)    run_full ;;
   package) run_package ;;
-  all)     run_smoke; run_package; run_full ;;
-  *) echo "usage: $0 {smoke|full|package|all}" >&2; exit 2 ;;
+  docs)    run_docs ;;
+  all)     run_smoke; run_docs; run_package; run_full ;;
+  *) echo "usage: $0 {smoke|full|package|docs|all}" >&2; exit 2 ;;
 esac
