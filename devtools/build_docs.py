@@ -28,6 +28,7 @@ PAGES = [
      "API reference (generated)"),
     ("theory", os.path.join(ROOT, "docs", "theory.md"), "Theory"),
     ("devnotes", os.path.join(ROOT, "docs", "devnotes.md"), "Dev notes"),
+    ("changelog", os.path.join(ROOT, "docs", "CHANGELOG.md"), "Changelog"),
 ]
 
 TEMPLATE = """<!DOCTYPE html>

@@ -15,9 +15,16 @@ openmmapi/src/SlicedNonbondedForce.cpp:121-130).
 Run:  python examples/lambda_sweep.py          (CPU or TPU, ~1 min)
 """
 
+import os
+import sys
+
 import numpy as np
 
-import nonbondedslicing_tpu as nbs
+# runnable in-place from a source checkout (python examples/lambda_sweep.py)
+# without an installed wheel
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import nonbondedslicing_tpu as nbs  # noqa: E402
 
 
 def build(n_solvent=60, box=3.6, seed=7):
