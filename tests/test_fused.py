@@ -232,3 +232,42 @@ def test_fused_matches_oracle_bare_ewald():
     fscale = float(jnp.max(jnp.abs(f_o))) + 1.0
     np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_o),
                                atol=2e-4 * fscale)
+
+
+def test_fused_coarse_bricks_match_oracle():
+    """cells != bricks regrouping path (round 5): at > 6 cells per axis the
+    brick heuristic groups multiple cells per PME brick (_brick_counts caps
+    bricks at ~6/axis; the 100k bench runs (10,10,10) cells with (5,5,5)
+    bricks).  Exercise _cells_to_bricks/_bricks_to_cells + the multi-cell
+    brick spread/interp against the all-pairs oracle on an 8-cells-per-axis
+    box, which no smaller test reaches."""
+    box = 8.2            # 8 cells of 1.025 nm at cutoff 0.9 + skin 0.1
+    system, force, positions = _system(nbs.SlicedNonbondedForce.PME,
+                                       n_mol=500, box=box)
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    pos = jnp.asarray(positions, dtype)
+    box_arr = jnp.asarray(np.array(system.getDefaultPeriodicBoxVectors()),
+                          dtype)
+    gvals = jnp.asarray([0.8], dtype)
+
+    out = fused.make_fused_engine(plan, interpret=True, target_skin=0.1,
+                                  cell_capacity=24)
+    assert out is not None
+    prepare, apply, cfg = out
+    assert cfg["counts"] == (8, 8, 8)
+    assert cfg["bricks"] == (4, 4, 4), cfg["bricks"]   # heuristic: <= 6/axis
+    state = prepare(pos, box_arr, gvals, data)
+    e_f, f_f, aux = apply(pos, box_arr, gvals, data, state)
+    assert int(aux["overflow"]) == 0
+
+    oracle = engine_mod.make_compute(plan, True, True, neighbor="all_pairs")
+    e_o, f_o = oracle(pos, box_arr, gvals, data)
+    scale = float(jnp.max(jnp.abs(e_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_o),
+                               atol=2e-4 * scale)
+    fscale = float(jnp.max(jnp.abs(f_o))) + 1.0
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_o),
+                               atol=2e-4 * fscale)
