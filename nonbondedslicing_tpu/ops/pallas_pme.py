@@ -427,7 +427,9 @@ def pme_reciprocal_pallas(pos_b, q_b, soh_b, box, lam_s, *, alpha, grid_shape,
     nz = grid_shape[2]
     # Spectrum pipeline choice (NBS_PME_PIPELINE overrides).  Whole-path
     # slope measurements at the 23k bench config (60^3 grid, 6^3 bricks,
-    # v5e): "windows" 0.94 ms, "grid" 1.67 ms, "blocked" 2.73 ms.
+    # v5e): "windows" 0.90 ms (0.94 before the r5 einsum forward,
+    # pme._rfft3_matmul_windows_v3), "grid" 1.67 ms, "blocked" 2.73 ms;
+    # no brick shape beats (6,6,6) here (extras/probe_pme_bricks_r5.py).
     #   "windows" (default): DFT straight from the window layout with the
     #     overlap-add folded into gathered DFT matrix rows
     #     (pme.rfft3_matmul_windows) — pays (w/p)x the grid-DFT FLOPs per

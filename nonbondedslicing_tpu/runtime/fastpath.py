@@ -132,11 +132,17 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     _, apply_full, _ = eng_full         # energies for the end-of-run report
     skin = cfg["skin"]
     if reuse_steps is None:
-        # steps until a 7 nm/ps atom covers half the skin (sustained per-step
-        # max displacement measured at ~0.012 nm over 120-step windows of the
-        # 23k rigid-water bench — K=4 leaves a ~25% margin there, and the
-        # in-trace guard still verifies every run; K=6 tripped it)
-        v_ref = 7.0
+        # steps until the fastest plausible atom covers half the skin.  The
+        # 7 nm/ps bound is calibrated for 1 amu hydrogens at 300 K
+        # (sustained per-step max displacement measured at ~0.012 nm over
+        # 120-step windows of the 23k rigid-water bench — K=4 leaves a ~25%
+        # margin there; K=6 tripped the guard); thermal speeds scale as
+        # 1/sqrt(m), so repartitioned hydrogens (HMR, 3 amu) admit a
+        # sqrt(3)-longer window.  The in-trace skin guard still verifies
+        # every run and the callers' retry paths halve K on a trip.
+        m_pos = np.asarray(masses, dtype=np.float64)
+        m_min = float(np.min(m_pos[m_pos > 0])) if np.any(m_pos > 0) else 1.0
+        v_ref = 7.0 / np.sqrt(max(m_min, 1.008) / 1.008)
         reuse_steps = int(0.5 * skin / (dt * v_ref))
     K = min(25, max(1, int(reuse_steps)))
     disp_limit2 = (0.5 * skin) ** 2 if K > 1 else np.inf
