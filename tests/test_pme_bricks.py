@@ -177,3 +177,37 @@ def test_inverse_window_dft_matches_ifft_then_gather():
     win = pme.irfft3_matmul_windows(re, im, bricks, grid_shape, (wx, wy, wz))
     np.testing.assert_allclose(np.asarray(win), np.asarray(win_ref),
                                atol=1e-9 * float(jnp.max(jnp.abs(win_ref))))
+
+
+def test_brick_count_heuristic():
+    """Round-5 _brick_counts rules: <= ~6 bricks/axis (per-brick Pallas
+    grid-step overhead dominates at ~1000 bricks), 4 MB VMEM bound on the
+    interp B-plane with fallback to one-brick-per-cell, NBS_BRICK_TARGET
+    override."""
+    import os
+
+    from nonbondedslicing_tpu.ops.fused import _brick_counts
+
+    # one brick per cell up to 6 cells/axis (the 23k bench shape)
+    assert _brick_counts((6, 6, 6), capacity=136,
+                         raw_grid=(60, 60, 60)) == (6, 6, 6)
+    assert _brick_counts((3, 3, 3), capacity=64,
+                         raw_grid=(16, 16, 16)) == (3, 3, 3)
+    # the 100k shape: largest divisor <= 6 of 10 is 5, VMEM estimate passes
+    assert _brick_counts((10, 10, 10), capacity=128,
+                         raw_grid=(90, 90, 90)) == (5, 5, 5)
+    assert _brick_counts((8, 8, 8), capacity=24,
+                         raw_grid=(64, 64, 64)) == (4, 4, 4)
+    # (9,9,9): divisor 3 would need a (36*36) x (27*164) B-plane ~ 23 MB
+    # -> falls back to one brick per cell
+    assert _brick_counts((9, 9, 9), capacity=164,
+                         raw_grid=(90, 90, 90)) == (9, 9, 9)
+    # no grid info (non-PME methods): the <=6 rule alone applies
+    assert _brick_counts((10, 10, 10)) == (5, 5, 5)
+    # explicit override wins
+    os.environ["NBS_BRICK_TARGET"] = "2"
+    try:
+        assert _brick_counts((10, 10, 10), capacity=128,
+                             raw_grid=(90, 90, 90)) == (2, 2, 2)
+    finally:
+        del os.environ["NBS_BRICK_TARGET"]
