@@ -39,8 +39,9 @@ plan = plan_mod.build_plan(force, system)
 dtype = jnp.float32
 n = plan.num_particles
 masses = np.full(n, 15.999); masses[1::3] = masses[2::3] = 1.008
+_suffix = "" if bench.N_MOLECULES == 7763 else f"_{bench.N_MOLECULES}"
 blob = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_state_rigid.npz"))
+                            f"bench_state_rigid{_suffix}.npz"))
 pos_np, vel_np = blob["positions"], blob["velocities"]
 cfg = choose_cell_grid(plan.box0, plan.cutoff, n, target_skin=DEFAULT_SKIN)
 occ = native.max_cell_occupancy(pos_np, plan.box0, cfg[0])
