@@ -45,6 +45,11 @@ DT_PS = 0.004 if HMR else (0.002 if RIGID else 0.001)
 # bookkeeping.  500 steps (1 ps at 2 fs) is an ordinary production
 # reporting interval.
 STEPS_MEASURE = int(os.environ.get("NBS_STEPS", "500"))
+# NBS_PRECISION=mixed: double-single position accumulation (the reference
+# CUDA platform's "mixed" Precision; its Platform default is "single", like
+# ours).  Costs ~6% of throughput and cuts NVE drift ~500x
+# (extras/probe_nve_tpu.py; BASELINE.md round-5 notes).
+PRECISION = os.environ.get("NBS_PRECISION", "single")
 D_OH, D_HH = 0.09572, 0.15139
 
 
@@ -283,11 +288,14 @@ def main():
                 state["run"] = make_md_step(
                     plan, masses, dt=DT_PS, dtype=dtype, bonds=bonds,
                     cell_capacity=state["capacity"],
-                    reuse_steps=state["reuse"], constraints=constraints)
+                    reuse_steps=state["reuse"], constraints=constraints,
+                    mixed_precision=(PRECISION == "mixed"))
                 state["reuse"] = state["run"].config["reuse_steps"]
             try:
-                p, v, e = state["run"](jnp.asarray(pos_np, dtype),
-                                       jnp.asarray(vel_np, dtype),
+                # pass f64 host positions: the mixed-precision run() splits
+                # them into its double-single (hi, lo) carry without losing
+                # the sub-f32 bits between chunks
+                p, v, e = state["run"](pos_np, jnp.asarray(vel_np, dtype),
                                        box_arr, gvals, data, STEPS_MEASURE)
                 return (np.asarray(p, dtype=np.float64),
                         np.asarray(v, dtype=np.float64), e)

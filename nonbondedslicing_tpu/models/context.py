@@ -222,6 +222,10 @@ class Context:
         if properties:
             self._platform.properties.update(properties)
         precision = self._platform.properties.get("Precision", "single")
+        if precision not in ("single", "mixed", "double"):
+            raise OpenMMException(
+                f"Unsupported Precision '{precision}' (single|mixed|double)")
+        self._precision = precision
         self._dtype = jnp.float64 if precision == "double" else jnp.float32
         n = system.getNumParticles()
         self._positions = np.zeros((n, 3))
@@ -653,7 +657,9 @@ class Context:
                                        bonds_periodic=bonds_periodic,
                                        constraints=constraints,
                                        reuse_steps=reuse,
-                                       cell_capacity=struct["cell_cap"])
+                                       cell_capacity=struct["cell_cap"],
+                                       mixed_precision=(
+                                           self._precision == "mixed"))
                     comp._md_runs[key] = run
                 try:
                     pos2, vel2, _ = run(pos, vel, box, gvals, comp.data,

@@ -123,7 +123,19 @@ def _isoceles_triangles(pairs, dists, masses):
 
 
 def make_constrainer(pairs, dists, masses, n_particles, iterations=8,
-                     dtype=jnp.float32, mask=None):
+                     dtype=jnp.float32, mask=None, mixed=False):
+    """``mixed=True`` (round 5) builds CORRECTION-style projectors for the
+    mixed-precision MD path's double-single (hi, lo) f32-pair positions:
+    the f32 solver core runs in a PER-CLUSTER LOCAL FRAME (coordinates
+    relative to the cluster's representative atom, ~0.1 nm scale where the
+    f32 ulp is ~1e-8 nm) and the caller compensated-adds the returned
+    correction into the (hi, lo) state (runtime/fastpath._ds_add).
+    Solving at f32 on ABSOLUTE ~box-scale coordinates instead injects
+    ~f32-ulp (2.4e-7 nm) position noise every step, which measured as the
+    DOMINANT NVE heating of the 23k bench (+540 kJ/mol/ps -> ~-1 with the
+    local frame, extras/probe_nve_tpu.py; a full-f64 path also fixes it
+    but f64 elementwise on this TPU runs ~250x slower than f32 and cost
+    6-9% of throughput).  Returns (px_corr, pv) — see _local_frame_ds."""
     pairs = np.asarray(pairs, dtype=np.int32)
     if pairs.ndim != 3:
         pairs = pairs.reshape(-1, 3, 2)
@@ -132,16 +144,82 @@ def make_constrainer(pairs, dists, masses, n_particles, iterations=8,
     if pairs.shape[1] != 3:
         # clusters wider than 3 coupled constraints (rigid CH3/CH4, chains):
         # generic batched-Newton M-SHAKE with a (C x C) linear solve
-        return _make_gather_constrainer(pairs, dists, masses, iterations,
-                                        dtype, mask=mask)
+        px, pv = _make_gather_constrainer(pairs, dists, masses, iterations,
+                                          dtype, mask=mask)
+        if mixed:
+            rep = _rep_atoms(pairs, n_particles)
+            return _local_frame_ds(px, pv, lambda hi: hi[rep], dtype)
+        return px, pv
     if mask is None and _contiguous_triangles(pairs, n_particles):
         if _isoceles_triangles(pairs, dists, masses):
-            return _make_dense_settle_constrainer(pairs, dists, masses,
-                                                  dtype)
-        return _make_dense_triangle_constrainer(pairs, dists, masses,
-                                                iterations, dtype)
-    return _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
-                                    mask=mask)
+            px, pv = _make_dense_settle_constrainer(pairs, dists, masses,
+                                                    dtype)
+        else:
+            px, pv = _make_dense_triangle_constrainer(pairs, dists, masses,
+                                                      iterations, dtype)
+        if mixed:
+            m = pairs.shape[0]
+
+            def shift_of(hi):
+                # contiguous triples: the molecule's first atom, by pure
+                # reshape/broadcast — no gather
+                return jnp.broadcast_to(
+                    hi.reshape(m, 3, 3)[:, 0:1, :], (m, 3, 3)
+                ).reshape(3 * m, 3)
+
+            return _local_frame_ds(px, pv, shift_of, dtype)
+        return px, pv
+    px, pv = _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
+                                      mask=mask)
+    if mixed:
+        rep = _rep_atoms(pairs, n_particles)
+        return _local_frame_ds(px, pv, lambda hi: hi[rep], dtype)
+    return px, pv
+
+
+def _rep_atoms(pairs, n_particles):
+    """Per-atom cluster-representative index (min atom of the atom's
+    constraint cluster; unconstrained atoms map to themselves) — the
+    local-frame shift source for the gather-family mixed projectors."""
+    rep = np.arange(n_particles, dtype=np.int32)
+    flat = pairs.reshape(-1, 2)
+    # union by min over a few sweeps (cluster diameters are tiny)
+    for _ in range(4):
+        lo = np.minimum(rep[flat[:, 0]], rep[flat[:, 1]])
+        np.minimum.at(rep, flat[:, 0], lo)
+        np.minimum.at(rep, flat[:, 1], lo)
+        rep = rep[rep]
+    return rep
+
+
+def _local_frame_ds(proj_x, proj_v, shift_of, dtype):
+    """Wrap f32 projectors for DOUBLE-SINGLE (hi, lo) f32-pair positions:
+    translate each cluster to its representative atom's frame (``shift_of``
+    maps an hi array to per-atom shifts), reconstruct exact-enough local
+    coordinates as (hi - shift) + lo (hi - shift is exact by Sterbenz for
+    nearby values; locals are ~0.1 nm where the f32 ulp is ~1e-8 nm), run
+    the unchanged f32 solver, and return the CORRECTION for the caller to
+    compensated-add into the (hi, lo) state.  The solvers are
+    translation-invariant, so this is exact up to the harmless
+    non-accumulating f32 rounding of the local geometry.
+
+    Returns (px_corr(hi_r, lo_r, hi_n, lo_n) -> corr (n, 3),
+             pv(hi, lo, vel32) -> vel32)."""
+
+    def _local(hi, lo, shift):
+        return (hi - shift) + lo
+
+    def px_corr(hi_r, lo_r, hi_n, lo_n):
+        shift = shift_of(hi_r)
+        base = _local(hi_r, lo_r, shift)
+        cand = _local(hi_n, lo_n, shift)
+        return proj_x(base, cand) - cand
+
+    def pv(hi, lo, vel):
+        p = _local(hi, lo, shift_of(hi))
+        return proj_v(p, vel)
+
+    return px_corr, pv
 
 
 def _solve3_rows(J, b):
@@ -422,7 +500,7 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
         dp_j = -(lam * 2.0)[..., None] * r_dir * im_j[..., None]
         flat_idx = jnp.concatenate([i_idx.reshape(-1), j_idx.reshape(-1)])
         flat_dp = jnp.concatenate([dp_i.reshape(-1, 3), dp_j.reshape(-1, 3)])
-        return pos.at[flat_idx].add(-flat_dp)
+        return pos.at[flat_idx].add(-flat_dp.astype(pos.dtype))
 
     def project_positions(pos_ref, pos_new):
         """Iteratively restore |r_ij| = d using reference directions."""
@@ -451,6 +529,9 @@ def _make_gather_constrainer(pairs, dists, masses, iterations, dtype,
         dv_j = -lam[..., None] * r_now * im_j[..., None]
         flat_idx = jnp.concatenate([i_idx.reshape(-1), j_idx.reshape(-1)])
         flat_dv = jnp.concatenate([dv_i.reshape(-1, 3), dv_j.reshape(-1, 3)])
-        return vel.at[flat_idx].add(-flat_dv)
+        # the mixed path solves at f64 but carries f32 velocities — cast
+        # the correction explicitly (implicit downcast scatters error out
+        # in future JAX)
+        return vel.at[flat_idx].add(-flat_dv.astype(vel.dtype))
 
     return project_positions, project_velocities

@@ -64,6 +64,34 @@ def _bond_forces_fn(bonds, n, dtype, periodic=False, box=None):
     return bond_forces
 
 
+def _ds_add(hi, lo, x):
+    """Compensated add of f32 ``x`` into a double-single (hi, lo) f32 pair:
+    branch-free TwoSum for the exact rounding error, then a Fast2Sum
+    renormalization (valid since |lo + err| << |hi + x| for MD-scale
+    updates).  ~9 f32 VPU ops/element — the f64 equivalent runs ~250x
+    slower per element on this TPU (extras/probe_nve_tpu.py notes)."""
+    s = hi + x
+    bb = s - hi
+    err = (hi - (s - bb)) + (x - bb)
+    lo2 = lo + err
+    hi2 = s + lo2
+    lo3 = lo2 - (hi2 - s)
+    return hi2, lo3
+
+
+@jax.jit
+def _ds_join(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _ds_split(pos):
+    """Host-side split of f64 positions into the (hi, lo) f32 pair."""
+    p64 = np.asarray(pos, dtype=np.float64)
+    hi = p64.astype(np.float32)
+    lo = (p64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 # nm — Verlet-list style cell oversizing for MD reuse.  0.09 (not 0.10):
 # at ~10 nm boxes (100k atoms, cutoff 0.9) it admits one more cell per axis
 # — (10,10,10) instead of (9,9,9) — cutting per-row candidate slots by 20%
@@ -75,7 +103,7 @@ DEFAULT_SKIN = 0.09
 def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                  bonds=None, cell_capacity=None, reuse_steps=None,
                  interpret=None, bonds_periodic=False, constraints=None,
-                 target_skin=DEFAULT_SKIN):
+                 target_skin=DEFAULT_SKIN, mixed_precision=None):
     """Returns run(pos, vel, box, gvals, data, n_steps) -> (pos, vel, energy).
 
     Leapfrog Verlet: v += dt*F/m; x += dt*v.  ``bonds`` is an optional
@@ -87,9 +115,28 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     rebuild; None picks K from the available skin (conservative default).
     Raises OpenMMException after the run if the cell capacity overflowed or
     any atom moved more than skin/2 between rebuilds.
+
+    ``mixed_precision`` (default: on for the f32 fused path): forces and
+    velocities stay f32 but POSITIONS accumulate in a DOUBLE-SINGLE
+    (hi, lo) f32 pair via compensated adds, and SHAKE/RATTLE/SETTLE solve
+    at f32 in a per-cluster LOCAL frame (constraints.py make_constrainer
+    ``mixed=True``) — the practical core of the reference CUDA platform's
+    "mixed" Precision, its production benchmark default, built from pure
+    f32 VPU ops because f64 elementwise runs ~250x slower on this TPU.
+    Pure-f32 integration heats the 23k bench at ~540 kJ/mol/ps
+    (≈ 4.7 kT/dof/ns — f32-ulp position noise from the absolute-coordinate
+    constraint solve and position accumulation); this path measures
+    ~−1 kJ/mol/ps (4e-3 |E|/ns) NVE drift (extras/probe_nve_tpu.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if mixed_precision is None:
+        # explicit opt-in: the semantic owner is the Platform's Precision
+        # property ("mixed"), mirroring the reference CUDA platform whose
+        # default Precision is likewise "single"
+        mixed_precision = False
+    mixed_precision = bool(mixed_precision) and (
+        jnp.dtype(dtype) == jnp.dtype(jnp.float32))
     eng = fused_mod.make_fused_engine(plan, cell_capacity=cell_capacity,
                                       hoist_eterm=True, interpret=interpret,
                                       target_skin=target_skin, energies=False)
@@ -111,7 +158,8 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         c_pairs, c_dists = constraints[0], constraints[1]
         c_mask = constraints[2] if len(constraints) > 2 else None
         proj_x, proj_v = make_constrainer(c_pairs, c_dists, masses, n,
-                                          dtype=dtype, mask=c_mask)
+                                          dtype=dtype, mask=c_mask,
+                                          mixed=mixed_precision)
     else:
         proj_x = proj_v = None
 
@@ -124,9 +172,36 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
         vel = (pos_new - pos) / dt
         return pos_new, proj_v(pos_new, vel)
 
+    def integrate_mixed(pos, vel, forces):
+        """Leapfrog with DOUBLE-SINGLE position accumulation: ``pos`` is an
+        (hi, lo) pair of f32 arrays carrying ~2x f32 precision; updates go
+        through the compensated ``_ds_add`` and the constraint solver runs
+        at f32 in a per-cluster local frame, returning a correction that is
+        compensated-added too (make_constrainer ``mixed=True``).
+        Velocities and the kick stay f32 (velocity-increment rounding
+        enters positions at ~1e-10 nm/step — harmless).  Accumulating and
+        solving on plain absolute f32 coordinates instead injects f32-ulp
+        position noise every step — measured as the dominant NVE heating —
+        while an f64 carry fixes the drift but costs 6-9% of throughput
+        (f64 elementwise runs ~250x slower than f32 on this TPU); the
+        double-single form gets the full drift fix in pure f32 ops."""
+        hi, lo = pos
+        vel = vel + dt * forces * inv_m
+        hi1, lo1 = _ds_add(hi, lo, dt * vel)
+        if proj_x is None:
+            return (hi1, lo1), vel
+        corr = proj_x(hi, lo, hi1, lo1)          # px_corr: local-frame f32
+        hi2, lo2 = _ds_add(hi1, lo1, corr)
+        # velocity from the actual constrained displacement (hi deltas are
+        # exact by Sterbenz; lo deltas carry the compensation bits)
+        vel = ((hi2 - hi) + (lo2 - lo)) * (1.0 / dt)
+        return (hi2, lo2), proj_v(hi2, lo2, vel)
+
     if eng is None:
-        return _make_md_step_simple(plan, integrate, dt, dtype, block_size,
-                                    bond_forces, cell_capacity, lam_source)
+        return _make_md_step_simple(
+            plan, integrate_mixed if mixed_precision else integrate, dt,
+            dtype, block_size, bond_forces, cell_capacity, lam_source,
+            mixed_precision=mixed_precision)
 
     prepare, apply, cfg = eng           # force-only inner-step variant
     _, apply_full, _ = eng_full         # energies for the end-of-run report
@@ -151,17 +226,24 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
     def run_scan(pos, vel, box, gvals, data, n_outer, rem):
         nslices = plan.num_slices
 
+        def _pos32(pos):
+            return pos[0] if mixed_precision else pos.astype(dtype)
+
         def inner(carry, _):
             pos, vel, dmax, state = carry
-            _, forces, aux = apply(pos, box, gvals, data, state)
+            pos32 = _pos32(pos)
+            _, forces, aux = apply(pos32, box, gvals, data, state)
             if bond_forces is not None:
-                forces = forces + bond_forces(pos)
-            pos, vel = integrate(pos, vel, forces)
+                forces = forces + bond_forces(pos32)
+            if mixed_precision:
+                pos, vel = integrate_mixed(pos, vel, forces)
+            else:
+                pos, vel = integrate(pos, vel, forces)
             dmax = jnp.maximum(dmax, aux["maxdisp2"])
             return (pos, vel, dmax, state), None
 
         def block(pos, vel, ov, dmax, k):
-            state = prepare(pos, box, gvals, data)
+            state = prepare(_pos32(pos), box, gvals, data)
             (pos, vel, dmax, _), _ = jax.lax.scan(
                 inner, (pos, vel, dmax, state), None, length=k)
             ov = jnp.maximum(ov, state["overflow"])
@@ -179,8 +261,9 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
             pos, vel, ov, dmax = block(pos, vel, ov, dmax, rem)
         # full-variant evaluation for the reported energy (the inner steps
         # run the force-only kernel)
-        state = prepare(pos, box, gvals, data)
-        slice_e, _, _ = apply_full(pos, box, gvals, data, state)
+        pos32 = _pos32(pos)
+        state = prepare(pos32, box, gvals, data)
+        slice_e, _, _ = apply_full(pos32, box, gvals, data, state)
         ov = jnp.maximum(ov, state["overflow"])
         lam = slice_lambdas(lam_source, gvals)
         energy = engine_mod.contract_energy(slice_e, lam)
@@ -201,8 +284,14 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                 "make_md_step: the runtime box must equal the plan's default "
                 "box (the cell grid and PME convolution kernels are "
                 "box-static); reinitialize for a different box.")
+        if mixed_precision:
+            hi, lo = _ds_split(pos)
+            pos_in = (jnp.asarray(hi), jnp.asarray(lo))
+        else:
+            pos_in = jnp.asarray(pos, dtype)
         pos, vel, energy, guards = run_scan(
-            pos, vel, box, gvals, data, int(n_steps) // K, int(n_steps) % K)
+            pos_in, jnp.asarray(vel, dtype), box, gvals,
+            data, int(n_steps) // K, int(n_steps) % K)
         guards = np.asarray(guards)
         ov_cell = int(guards[0])
         dmax = float(guards[1])
@@ -216,49 +305,71 @@ def make_md_step(plan, masses, dt, dtype=jnp.float32, block_size=None,
                 "Neighbor-list skin violation: an atom moved "
                 f"{float(dmax) ** 0.5:.4f} nm between rebuilds "
                 f"(> skin/2 = {0.5 * skin:.4f} nm). Reduce reuse_steps.")
+        if mixed_precision:
+            # one-time f64 reconstruction per run() call ON DEVICE: a single
+            # (n, 3) f64 add costs ~0.3 ms once per chunk, while fetching
+            # hi/lo to the host costs two extra ~50 ms tunnel round trips
+            hi, lo = pos
+            pos = _ds_join(hi, lo)
         return pos, vel, energy
 
-    run.config = dict(reuse_steps=K, skin=skin, **{k: v for k, v in cfg.items()
-                                                   if k in ("counts",
-                                                            "capacity",
-                                                            "pme_grid")})
+    run.config = dict(reuse_steps=K, skin=skin,
+                      mixed_precision=bool(mixed_precision),
+                      **{k: v for k, v in cfg.items()
+                         if k in ("counts", "capacity", "pme_grid")})
     return run
 
 
 def _make_md_step_simple(plan, integrate, dt, dtype, block_size, bond_forces,
-                         cell_capacity, lam_source):
+                         cell_capacity, lam_source, mixed_precision=False):
     """Fallback: per-step rebuild via the generic engine (small / nonperiodic
-    systems where the fused slot engine does not apply)."""
+    systems where the fused slot engine does not apply).  ``integrate`` is
+    the (possibly mixed-precision) integrator; with mixed precision the
+    position carry is a double-single (hi, lo) f32 pair and forces are
+    evaluated at ``dtype``."""
     compute = engine_mod.make_compute(plan, True, True, block_size=block_size,
                                       cell_capacity=cell_capacity,
                                       with_aux=True)
+
+    def _pos32(pos):
+        return pos[0] if mixed_precision else pos.astype(dtype)
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
     def run_scan(pos, vel, box, gvals, data, n_steps):
         def step(carry, _):
             pos, vel, ov = carry
-            _, forces, aux = compute(pos, box, gvals, data)
+            pos32 = _pos32(pos)
+            _, forces, aux = compute(pos32, box, gvals, data)
             if bond_forces is not None:
-                forces = forces + bond_forces(pos)
+                forces = forces + bond_forces(pos32)
             pos, vel = integrate(pos, vel, forces)
             return (pos, vel, jnp.maximum(ov, aux["overflow"])), None
 
         (pos, vel, ov), _ = jax.lax.scan(
             step, (pos, vel, jnp.zeros((), jnp.int32)), None, length=n_steps)
-        slice_e, _, aux = compute(pos, box, gvals, data)
+        slice_e, _, aux = compute(_pos32(pos), box, gvals, data)
         ov = jnp.maximum(ov, aux["overflow"])
         lam = slice_lambdas(lam_source, gvals)
         energy = engine_mod.contract_energy(slice_e, lam)
         return pos, vel, energy, ov
 
     def run(pos, vel, box, gvals, data, n_steps):
-        pos, vel, energy, ov = run_scan(pos, vel, box, gvals, data,
-                                        int(n_steps))
+        if mixed_precision:
+            hi, lo = _ds_split(pos)
+            pos_in = (jnp.asarray(hi), jnp.asarray(lo))
+        else:
+            pos_in = jnp.asarray(pos, dtype)
+        pos, vel, energy, ov = run_scan(pos_in, jnp.asarray(vel, dtype),
+                                        box, gvals, data, int(n_steps))
         if int(ov) > 0:
             raise OpenMMException(
                 f"Cell-list capacity overflow ({int(ov)} atoms dropped) "
                 "during the MD scan. Rebuild with a larger cell_capacity.")
+        if mixed_precision:
+            hi, lo = pos
+            pos = _ds_join(hi, lo)
         return pos, vel, energy
 
-    run.config = dict(reuse_steps=1)
+    run.config = dict(reuse_steps=1,
+                      mixed_precision=bool(mixed_precision))
     return run

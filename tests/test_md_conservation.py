@@ -97,3 +97,44 @@ def test_nve_energy_conservation_rigid_water():
     e1, ke1 = total_energy(pos, vel)
     # drift bounded by a small fraction of the kinetic energy scale
     assert abs(e1 - e0) < 0.05 * max(ke0, ke1, 100.0), (e0, e1, ke0, ke1)
+
+
+def test_mixed_precision_default_and_trajectory_consistency():
+    """Round 5: Platform Precision "mixed" (opt-in, like the reference CUDA
+    platform whose default is likewise "single") carries positions as a
+    double-single (hi, lo) f32 pair with compensated updates and solves
+    constraints at f32 in a per-cluster local frame.  The mixed trajectory
+    must track the pure-f32 one over a short horizon (identical forces,
+    integration differs only at f32 rounding); the f32 heating measured on
+    hardware (~540 kJ/mol/ps at 23k, extras/probe_nve_tpu.py) comes from
+    the absolute-coordinate f32 rounding this removes."""
+    system, force, positions, masses, constraints, box = _water_box()
+    plan = plan_mod.build_plan(force, system)
+    dtype = jnp.float32
+    data = {k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in engine_mod.plan_data(plan).items()}
+    box_arr = jnp.asarray(np.diag([box] * 3), dtype)
+    gvals = jnp.asarray([1.0], dtype)
+
+    run_mix = make_md_step(plan, masses, dt=0.001, dtype=dtype,
+                           constraints=constraints, reuse_steps=4,
+                           mixed_precision=True)
+    run_f32 = make_md_step(plan, masses, dt=0.001, dtype=dtype,
+                           constraints=constraints, reuse_steps=4)
+    assert run_mix.config["mixed_precision"] is True
+    assert run_f32.config["mixed_precision"] is False
+
+    pos0 = jnp.asarray(positions, dtype)
+    vel0 = jnp.zeros_like(pos0)
+    p_m, v_m, e_m = run_mix(pos0, vel0, box_arr, gvals, data, 10)
+    p_f, v_f, e_f = run_f32(jnp.asarray(positions, dtype),
+                            jnp.zeros_like(pos0), box_arr, gvals, data, 10)
+    assert p_m.dtype == jnp.float64 and p_f.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(p_m, np.float64),
+                               np.asarray(p_f, np.float64), atol=1e-4)
+    np.testing.assert_allclose(float(e_m), float(e_f),
+                               rtol=0, atol=1e-3 * abs(float(e_f)) + 1.0)
+    # constraints hold on the f64 state to f32 projection accuracy
+    p = np.asarray(p_m, np.float64)
+    d01 = np.linalg.norm(p[0] - p[1])
+    assert abs(d01 - D_OH) < 5e-6, d01
